@@ -1,0 +1,128 @@
+"""Client — the user entry point.
+
+Reference parity: ``scannerpy.Client`` (``sc``) with ``sc.io.Input/Output``,
+``sc.ops.<OpName>``, ``sc.streams.Gather/Range/Stride``, ``sc.run(...)``,
+``sc.ingest_videos`` (reference tests/test_all.py:38-47,150-177). In the
+reference the client talks gRPC to the Scanner master; here it owns the local
+db, the profiler, and the executor directly — multi-host scaling goes through
+jax.distributed + the parallel work-queue (parallel/), not a master process.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+from .config import CacheMode, Config, DeviceType, PerfParams
+from .graph import (InputNode, Node, NodeOutput, OpNode, OutputNode,
+                    SampleNode, as_output)
+from .registry import get_op, has_op
+from .runtime.executor import Executor
+from .runtime.profiler import Profiler
+from .storage.named import NamedStream, NamedVideoStream
+
+
+class _OpFactory:
+    def __init__(self, name: str):
+        self._name = name
+
+    def __call__(self, **kwargs) -> Union[Node, NodeOutput]:
+        opdef = get_op(self._name)
+        inputs: Dict[str, NodeOutput] = {}
+        params: Dict[str, Any] = {}
+        for k, v in kwargs.items():
+            if isinstance(v, (Node, NodeOutput)):
+                inputs[k] = as_output(v)
+            elif k in ("device",):
+                # accepted for reference API parity; placement is automatic
+                continue
+            else:
+                params[k] = v
+        node = OpNode(self._name, inputs, params)
+        return node
+
+
+class _OpsNamespace:
+    def __getattr__(self, name: str) -> _OpFactory:
+        if not has_op(name):
+            raise AttributeError(f"no registered op {name!r}")
+        return _OpFactory(name)
+
+
+class _IoNamespace:
+    def __init__(self, sc: "Client"):
+        self._sc = sc
+
+    def Input(self, streams: Sequence[Any]) -> InputNode:
+        return InputNode(streams)
+
+    def Output(self, op, streams: Sequence[Any]) -> OutputNode:
+        if isinstance(op, (list, tuple)):
+            cols = [as_output(o) for o in op]
+        else:
+            cols = [as_output(op)]
+        return OutputNode(cols, streams)
+
+
+class _StreamsNamespace:
+    def Gather(self, src, indices_per_job: Sequence[Sequence[int]]) -> SampleNode:
+        return SampleNode(as_output(src), "gather", [list(i) for i in indices_per_job])
+
+    def Range(self, src, ranges) -> SampleNode:
+        """Range(src, [(start, end)]) or Range(src, start, end) for one job."""
+        if isinstance(ranges, int):
+            raise TypeError("use Range(src, [(start, end), ...])")
+        if ranges and isinstance(ranges[0], int):
+            ranges = [tuple(ranges)]
+        return SampleNode(as_output(src), "range", [tuple(r) for r in ranges])
+
+    def Stride(self, src, strides: Sequence[int]) -> SampleNode:
+        return SampleNode(as_output(src), "stride", list(strides))
+
+    def StridedRange(self, src, specs) -> SampleNode:
+        return SampleNode(as_output(src), "strided_range", [tuple(s) for s in specs])
+
+
+class Client:
+    """``sc = Client()``; optionally pass a Config or db_path."""
+
+    def __init__(self, config: Optional[Config] = None, db_path: Optional[str] = None,
+                 **_parity_kwargs):
+        if config is None:
+            config = Config()
+        if db_path is not None:
+            config.db_path = db_path
+        import os
+
+        os.makedirs(config.db_path, exist_ok=True)
+        self.config = config
+        self.profiler = Profiler()
+        self.ops = _OpsNamespace()
+        self.io = _IoNamespace(self)
+        self.streams = _StreamsNamespace()
+        self._executor = Executor(self)
+
+    # -- reference-parity helpers ------------------------------------------
+
+    def ingest_videos(self, named_paths, inplace: bool = True):
+        """[(name, path), ...] -> [NamedVideoStream]; ``inplace=False`` copies
+        the container into the db (reference sc.ingest_videos)."""
+        return [
+            NamedVideoStream(self, name, path=path, copy=not inplace)
+            for name, path in named_paths
+        ]
+
+    def run(
+        self,
+        output: OutputNode,
+        perf_params: Optional[PerfParams] = None,
+        cache_mode: CacheMode = CacheMode.Error,
+        show_progress: bool = False,
+        **_parity_kwargs,
+    ):
+        self._executor.run(output, perf_params, cache_mode, show_progress)
+
+    def summarize(self) -> str:
+        lines = ["profiler totals (s):"]
+        for k, v in sorted(self.profiler.totals().items()):
+            lines.append(f"  {k:40s} {v:8.3f}")
+        return "\n".join(lines)

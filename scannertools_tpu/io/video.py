@@ -1,0 +1,134 @@
+"""Host-side video decode.
+
+Reference parity: the Scanner engine's decode thread + hwang indexed decode
+(SURVEY §1 L0; old/video.py:39-46). TPU-native design: decode happens on the
+host (OpenCV/ffmpeg backend), producing fixed-shape RGB uint8 chunk arrays
+``[T, H, W, 3]`` that the prefetcher moves to HBM with double buffering.
+
+Seek plans: a sorted frame-index list is split into *runs* — maximal spans
+where sequential ``grab()`` beats a seek (the analog of hwang's keyframe-aware
+index reads). One seek per run, sequential decode within.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+# Decoding sequentially past <= this many unwanted frames is cheaper than a
+# container seek (re-priming the decoder at the previous keyframe).
+_SEEK_GAP = 32
+
+
+@dataclasses.dataclass(frozen=True)
+class VideoMetadata:
+    path: str
+    num_frames: int
+    fps: float
+    width: int
+    height: int
+
+    @property
+    def duration(self) -> float:
+        return self.num_frames / self.fps if self.fps else 0.0
+
+
+def probe(path: str) -> VideoMetadata:
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise IOError(f"cannot open video: {path}")
+    meta = VideoMetadata(
+        path=path,
+        num_frames=int(cap.get(cv2.CAP_PROP_FRAME_COUNT)),
+        fps=float(cap.get(cv2.CAP_PROP_FPS)) or 30.0,
+        width=int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+        height=int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
+    )
+    cap.release()
+    return meta
+
+
+def _runs(indices: Sequence[int]) -> List[List[int]]:
+    """Split sorted indices into seek runs (gap > _SEEK_GAP starts a new run)."""
+    runs: List[List[int]] = []
+    for i in indices:
+        if runs and 0 < i - runs[-1][-1] <= _SEEK_GAP:
+            runs[-1].append(i)
+        else:
+            runs.append([i])
+    return runs
+
+
+class VideoDecoder:
+    """Stateful sequential decoder over one container, optimized for sorted
+    index streams (the executor always requests ascending indices)."""
+
+    def __init__(self, path: str):
+        if cv2 is None:
+            raise RuntimeError("OpenCV is required for video decode")
+        self.path = path
+        self.meta = probe(path)
+        self._cap = cv2.VideoCapture(path)
+        self._pos = 0  # index of next frame read() would return
+        self._lock = threading.Lock()
+
+    def close(self) -> None:
+        self._cap.release()
+
+    def read_frames(self, indices: Sequence[int]) -> np.ndarray:
+        """Decode the given (ascending) frame indices -> [T, H, W, 3] RGB u8."""
+        out = np.empty(
+            (len(indices), self.meta.height, self.meta.width, 3), np.uint8
+        )
+        with self._lock:
+            k = 0
+            for run in _runs(indices):
+                first = run[0]
+                if first < self._pos or first - self._pos > _SEEK_GAP:
+                    self._cap.set(cv2.CAP_PROP_POS_FRAMES, first)
+                    self._pos = first
+                want = set(run)
+                last = run[-1]
+                while self._pos <= last:
+                    ok = self._cap.grab()
+                    if not ok:
+                        raise IOError(
+                            f"decode failed at frame {self._pos} of {self.path}"
+                        )
+                    if self._pos in want:
+                        ok, bgr = self._cap.retrieve()
+                        if not ok:
+                            raise IOError(
+                                f"retrieve failed at frame {self._pos} of {self.path}"
+                            )
+                        out[k] = bgr[:, :, ::-1]  # BGR -> RGB
+                        k += 1
+                    self._pos += 1
+        return out
+
+
+def write_video(path: str, frames: Iterator[np.ndarray], fps: float = 24.0) -> int:
+    """Encode RGB uint8 frames to mp4. Returns frame count."""
+    writer = None
+    n = 0
+    for f in frames:
+        if writer is None:
+            h, w = f.shape[:2]
+            writer = cv2.VideoWriter(
+                path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
+            )
+            if not writer.isOpened():
+                raise IOError(f"cannot open VideoWriter for {path}")
+        writer.write(np.ascontiguousarray(f[:, :, ::-1]))
+        n += 1
+    if writer is not None:
+        writer.release()
+    return n

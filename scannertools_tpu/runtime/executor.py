@@ -1,0 +1,482 @@
+"""Graph executor: lowers the pipeline IR to jitted JAX chunk programs.
+
+This is the TPU-native replacement for the Scanner engine's run loop
+(master/worker gRPC scheduling + C++ kernel threads, SURVEY §1 L0). The
+design:
+
+  * Each job (stream) is planned as a sequence of fixed-size frame chunks
+    (``PerfParams.work_packet_size`` analog). Static chunk shapes keep XLA
+    compiles cached after the first chunk.
+  * Maximal runs of device ops are fused into one traced function per
+    segment, so intermediates never leave HBM and XLA fuses elementwise work
+    into neighbors.
+  * Temporal stencils (reference ``.stencil({0,1})``, e.g. optical flow) are
+    planned as chunk halos: a backward interval pass computes how many extra
+    rows each node needs; sources decode the halo (replicate-clamped at
+    stream edges, matching the engine's boundary handling).
+  * Stateful ops (reference bounded/unbounded state: tracker.py:12,
+    montage_kernel_cpu.cpp:111) carry python/pytree state chunk-to-chunk and
+    force per-stream sequential order (which this executor is anyway).
+  * Whole-stream ops (reference batch=10**7 idiom, shot_detection.py:11)
+    accumulate their inputs across chunks and run once at end-of-stream.
+  * Host decode runs in a prefetch thread, double-buffering chunks ahead of
+    device execution (``prefetch_depth``).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .. import types as typeslib
+from ..config import CacheMode, PerfParams
+from ..graph import (InputNode, Node, NodeOutput, OpNode, OutputNode,
+                     SampleNode, toposort)
+from ..registry import OpDef, get_op
+from ..utils.framechunk import FrameChunk
+from .context import OpContext
+from .profiler import Profiler
+
+
+def _clamp(i: int, lo: int, hi: int) -> int:
+    return max(lo, min(hi, i))
+
+
+class _Value:
+    """A chunk-scoped dataflow value: rows [a+lo, b+hi] of a node's stream."""
+
+    __slots__ = ("data", "lo", "hi", "is_device")
+
+    def __init__(self, data, lo: int, hi: int, is_device: bool):
+        self.data = data
+        self.lo = lo
+        self.hi = hi
+        self.is_device = is_device
+
+    def slice_rows(self, want_lo: int, want_hi: int, T: int):
+        """Rows [a+want_lo, b+want_hi] of this value (static offsets)."""
+        start = want_lo - self.lo
+        length = T + (want_hi - want_lo)
+        assert start >= 0, (start, want_lo, self.lo)
+        if isinstance(self.data, FrameChunk):
+            return self.data.slice_rows(start, length)
+        return self.data[start : start + length]
+
+
+def _to_host(data):
+    """Device value -> host object for host ops / sinks."""
+    if isinstance(data, FrameChunk):
+        return data.host().hwc_u8()
+    if isinstance(data, list):
+        return data
+    return np.asarray(jax.device_get(data))
+
+
+class Executor:
+    def __init__(self, client):
+        self.client = client
+        self.profiler: Profiler = client.profiler
+
+    # ------------------------------------------------------------------ plan
+
+    def _intervals(self, order: List[Node]) -> Dict[int, Tuple[int, int]]:
+        """Backward pass: rows (relative to the output chunk) each node must
+        produce. Output/sink nodes need (0, 0); an op with stencil (s_lo,
+        s_hi) needing (lo, hi) requires (lo+s_lo, hi+s_hi) of its inputs."""
+        need: Dict[int, Tuple[int, int]] = {}
+
+        def widen(nid: int, lo: int, hi: int):
+            cur = need.get(nid, (0, 0))
+            need[nid] = (min(cur[0], lo), max(cur[1], hi))
+
+        for node in reversed(order):
+            lo, hi = need.get(node.id, (0, 0))
+            if isinstance(node, OpNode):
+                s_lo, s_hi = get_op(node.name).stencil
+            else:
+                s_lo, s_hi = 0, 0
+            for e in node.inputs.values():
+                widen(e.node.id, lo + s_lo, hi + s_hi)
+            need.setdefault(node.id, (lo, hi))
+        return need
+
+    def _effective_rows(self, order: List[Node], source: InputNode, job: int,
+                        n_rows: int) -> List[int]:
+        rows = list(range(n_rows))
+        for node in order:
+            if isinstance(node, SampleNode):
+                rows = [rows[i] for i in node.indices(job, len(rows))]
+        return rows
+
+    # ------------------------------------------------------------------ run
+
+    def run(
+        self,
+        output: OutputNode,
+        perf_params: Optional[PerfParams] = None,
+        cache_mode: CacheMode = CacheMode.Error,
+        show_progress: bool = False,
+    ):
+        perf = perf_params or PerfParams.estimate()
+        order = toposort(output)
+        sources = [n for n in order if isinstance(n, InputNode)]
+        if len(sources) != 1:
+            raise NotImplementedError("exactly one Input per graph in v1")
+        source = sources[0]
+        need = self._intervals(order)
+
+        n_jobs = len(source.streams)
+        for job in range(n_jobs):
+            sink_streams = self._job_sinks(output, job)
+            committed = all(s.committed() for s in sink_streams)
+            if committed:
+                if cache_mode == CacheMode.Error:
+                    raise RuntimeError(
+                        f"job {job}: output stream already committed "
+                        "(pass cache_mode=CacheMode.Ignore/Overwrite)"
+                    )
+                if cache_mode == CacheMode.Ignore:
+                    continue
+            self._run_job(output, order, need, source, job, sink_streams,
+                          perf, show_progress)
+
+    def _job_sinks(self, output: OutputNode, job: int):
+        s = output.streams[job]
+        if isinstance(s, (list, tuple)):
+            return list(s)
+        return [s]
+
+    def _run_job(self, output, order, need, source, job, sink_streams, perf,
+                 show_progress):
+        in_stream = source.streams[job]
+        stream_meta = {}
+        if getattr(in_stream, "is_video", False):
+            m = in_stream.metadata()
+            stream_meta = {"fps": m.fps, "width": m.width, "height": m.height}
+        ctx = OpContext(
+            job=job,
+            stream_meta=stream_meta,
+            resources_dir=self.client.config.resources_dir(),
+            profiler=self.profiler,
+        )
+
+        rows = self._effective_rows(order, source, job, len(in_stream))
+        n_out = len(rows)
+        W = perf.work_packet_size
+        src_lo, src_hi = need[source.id]
+
+        # Column plumbing -------------------------------------------------
+        op_nodes = [n for n in order if isinstance(n, OpNode)]
+        ws_nodes = [n for n in op_nodes if get_op(n.name).kind == "whole_stream"]
+        ws_ids = {n.id for n in ws_nodes}
+        # sink columns: (edge, writer, deferred?)
+        writers = []
+        for i, edge in enumerate(output.columns):
+            tname = self._column_type(edge)
+            sink = sink_streams[min(i, len(sink_streams) - 1)]
+            writers.append((edge, sink.writer(tname), edge.node.id in ws_ids))
+
+        # whole-stream accumulators: node.id -> list of per-chunk host inputs
+        ws_acc: Dict[int, List[List[Any]]] = {
+            n.id: [[] for _ in n.inputs] for n in ws_nodes
+        }
+        state: Dict[int, Any] = {}
+        jit_cache: Dict[int, Any] = {}
+
+        # Prefetching decode ----------------------------------------------
+        chunks = list(range(0, n_out, W))
+        decoder = in_stream.decoder() if getattr(in_stream, "is_video", False) else None
+
+        def decode_chunk(a: int):
+            b = min(a + W, n_out) - 1
+            T = b - a + 1
+            positions = [
+                _clamp(p, 0, n_out - 1) for p in range(a + src_lo, b + src_hi + 1)
+            ]
+            src_rows = [rows[p] for p in positions]
+            with self.profiler.span("source:read"):
+                if decoder is not None:
+                    data = FrameChunk.from_hwc(decoder.read_frames(src_rows))
+                    val = _Value(data, src_lo, src_hi, is_device=False)
+                else:
+                    elems = list(in_stream.load_bytes(src_rows))
+                    parse = typeslib.get_type(in_stream.type_name()).parse
+                    val = _Value([parse(e) for e in elems], src_lo, src_hi, False)
+            return a, T, val
+
+        prefetched = _Prefetcher(decode_chunk, chunks, depth=perf.prefetch_depth)
+
+        try:
+            for a, T, src_val in prefetched:
+                values: Dict[Tuple[int, int], _Value] = {
+                    (source.id, 0): src_val
+                }
+                self._run_chunk(order, need, values, ctx, T, jit_cache, state,
+                                ws_acc, ws_ids)
+                # write non-deferred sink columns
+                for edge, writer, deferred in writers:
+                    if deferred:
+                        continue
+                    val = values[(edge.node.id, edge.index)]
+                    self._write_column(writer, edge, val, T)
+                if show_progress:
+                    print(f"  job {job}: rows {a + T}/{n_out}", flush=True)
+
+            # end-of-stream: whole-stream ops then deferred sinks
+            ws_out: Dict[Tuple[int, int], List[Any]] = {}
+            for node in ws_nodes:
+                opdef = get_op(node.name)
+                args = [
+                    _concat_host(parts) for parts in ws_acc[node.id]
+                ]
+                with self.profiler.span(f"op:{node.name}"):
+                    res = opdef.fn(ctx, *args, **node.params)
+                if opdef.n_outputs == 1:
+                    ws_out[(node.id, 0)] = list(res)
+                else:
+                    for k, r in enumerate(res):
+                        ws_out[(node.id, k)] = list(r)
+            for edge, writer, deferred in writers:
+                if not deferred:
+                    continue
+                tname = self._column_type(edge)
+                ser = typeslib.get_type(tname).serialize
+                for el in ws_out[(edge.node.id, edge.index)]:
+                    writer.append(b"" if el is None else ser(el))
+
+            for _, writer, _ in writers:
+                writer.commit()
+        except Exception:
+            for _, writer, _ in writers:
+                writer.abort()
+            raise
+        finally:
+            prefetched.close()
+            if decoder is not None:
+                decoder.close()
+            ctx.close()
+
+    # ----------------------------------------------------------- chunk exec
+
+    def _run_chunk(self, order, need, values, ctx, T, jit_cache, state,
+                   ws_acc, ws_ids):
+        # group maximal runs of device ops into fused segments
+        i = 0
+        n = len(order)
+        while i < n:
+            node = order[i]
+            if isinstance(node, OpNode) and get_op(node.name).kind == "device":
+                seg = [node]
+                j = i + 1
+                while j < n and isinstance(order[j], OpNode) and \
+                        get_op(order[j].name).kind == "device":
+                    seg.append(order[j])
+                    j += 1
+                self._run_device_segment(seg, need, values, ctx, T, jit_cache)
+                i = j
+                continue
+            self._run_host_node(node, need, values, ctx, T, state, ws_acc,
+                                ws_ids)
+            i += 1
+
+    def _gather_input(self, values, edge: NodeOutput, want_lo, want_hi, T,
+                      device: bool):
+        v = values[(edge.node.id, edge.index)]
+        data = v.slice_rows(want_lo, want_hi, T)
+        if device and isinstance(data, list):
+            data = np.stack(data)
+        return data
+
+    def _run_device_segment(self, seg: List[OpNode], need, values, ctx, T,
+                            jit_cache):
+        # T participates in the key: slice offsets inside the traced function
+        # are python ints derived from T, so a shorter tail chunk must retrace.
+        key = (tuple(n.id for n in seg), T)
+        # external inputs of the segment, in deterministic order
+        seg_ids = {n.id for n in seg}
+        ext: List[Tuple[int, int, int, int]] = []  # (node.id, idx, lo, hi)
+        ext_edges: List[NodeOutput] = []
+        for node in seg:
+            n_lo, n_hi = need[node.id]
+            s_lo, s_hi = get_op(node.name).stencil
+            for e in node.inputs.values():
+                if e.node.id not in seg_ids and \
+                        (e.node.id, e.index) not in {(x[0], x[1]) for x in ext}:
+                    ev = values[(e.node.id, e.index)]
+                    ext.append((e.node.id, e.index, ev.lo, ev.hi))
+                    ext_edges.append(e)
+
+        if key not in jit_cache:
+            seg_nodes = list(seg)
+            need_s = dict(need)
+            ext_meta = list(ext)
+
+            def segment_fn(*arrays):
+                local: Dict[Tuple[int, int], _Value] = {}
+                for (nid, idx, lo, hi), arr in zip(ext_meta, arrays):
+                    local[(nid, idx)] = _Value(arr, lo, hi, True)
+                outs = []
+                for node in seg_nodes:
+                    opdef = get_op(node.name)
+                    n_lo, n_hi = need_s[node.id]
+                    s_lo, s_hi = opdef.stencil
+                    args = []
+                    for e in node.inputs.values():
+                        v = local[(e.node.id, e.index)]
+                        args.append(v.slice_rows(n_lo + s_lo, n_hi + s_hi, T))
+                    res = opdef.fn(ctx, *args, **node.params)
+                    if opdef.n_outputs == 1:
+                        res = (res,)
+                    for k, r in enumerate(res):
+                        local[(node.id, k)] = _Value(r, n_lo, n_hi, True)
+                for node in seg_nodes:
+                    for k in range(get_op(node.name).n_outputs):
+                        outs.append(local[(node.id, k)].data)
+                return tuple(outs)
+
+            jit_cache[key] = jax.jit(segment_fn)
+
+        arrays = []
+        for e in ext_edges:
+            v = values[(e.node.id, e.index)]
+            data = v.data
+            if isinstance(data, list):
+                data = np.stack(data)
+            arrays.append(data)  # FrameChunks pass through as pytrees
+        with self.profiler.span("device:" + "+".join(n.name for n in seg)):
+            outs = jit_cache[key](*arrays)
+        k = 0
+        for node in seg:
+            n_lo, n_hi = need[node.id]
+            for oi in range(get_op(node.name).n_outputs):
+                values[(node.id, oi)] = _Value(outs[k], n_lo, n_hi, True)
+                k += 1
+
+    def _run_host_node(self, node, need, values, ctx, T, state, ws_acc,
+                       ws_ids):
+        if isinstance(node, InputNode):
+            return  # source value injected by the chunk loop
+        if isinstance(node, SampleNode):
+            e = node.inputs["input"]
+            values[(node.id, 0)] = values[(e.node.id, e.index)]
+            return
+        if isinstance(node, OutputNode):
+            return
+        assert isinstance(node, OpNode), node
+        opdef = get_op(node.name)
+        n_lo, n_hi = need[node.id]
+        s_lo, s_hi = opdef.stencil
+
+        args = []
+        for e in node.inputs.values():
+            v = values[(e.node.id, e.index)]
+            data = v.slice_rows(n_lo + s_lo, n_hi + s_hi, T)
+            if v.is_device or isinstance(data, FrameChunk):
+                data = _to_host(data)
+            args.append(data)
+
+        if node.id in ws_ids:
+            for slot, a in enumerate(args):
+                ws_acc[node.id][slot].append(a)
+            return
+
+        with self.profiler.span(f"op:{node.name}"):
+            if opdef.kind == "stateful":
+                st = state.get(node.id)
+                if st is None and opdef.init_state is not None:
+                    st = opdef.init_state(ctx)
+                st, res = opdef.fn(ctx, st, *args, **node.params)
+                state[node.id] = st
+            else:
+                res = opdef.fn(ctx, *args, **node.params)
+        if opdef.n_outputs == 1:
+            res = (res,)
+        for k, r in enumerate(res):
+            values[(node.id, k)] = _Value(r, n_lo, n_hi, False)
+
+    # ------------------------------------------------------------- sinks
+
+    def _column_type(self, edge: NodeOutput) -> str:
+        node = edge.node
+        if isinstance(node, OpNode):
+            return get_op(node.name).outputs[edge.index]
+        if isinstance(node, (InputNode, SampleNode)):
+            src = node
+            while isinstance(src, SampleNode):
+                src = src.inputs["input"].node
+            s = src.streams[0]
+            return s.type_name()
+        raise ValueError(f"cannot sink from {node}")
+
+    def _write_column(self, writer, edge, val: _Value, T: int):
+        data = val.slice_rows(0, 0, T)
+        if val.is_device or isinstance(data, FrameChunk):
+            data = _to_host(data)
+        ser = typeslib.get_type(self._column_type(edge)).serialize
+        with self.profiler.span("sink:write"):
+            if isinstance(data, list):
+                for el in data:
+                    writer.append(b"" if el is None else
+                                  el if isinstance(el, bytes) else ser(el))
+            else:
+                for t in range(T):
+                    writer.append(ser(data[t]))
+
+
+def _concat_host(parts: List[Any]):
+    if not parts:
+        return []
+    if isinstance(parts[0], np.ndarray):
+        return np.concatenate(parts, axis=0)
+    out = []
+    for p in parts:
+        out.extend(p)
+    return out
+
+
+class _Prefetcher:
+    """Decode-ahead: runs ``fn(chunk_start)`` in a worker thread, keeping up
+    to ``depth`` chunks queued (the double-buffered host→HBM overlap of the
+    north star; reference analog: io packets decoded ahead of kernel threads)."""
+
+    def __init__(self, fn, starts: Sequence[int], depth: int = 2):
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+        self._starts = list(starts)
+        self._fn = fn
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._work, daemon=True)
+        self._thread.start()
+
+    def _work(self):
+        try:
+            for a in self._starts:
+                if self._stop.is_set():
+                    return
+                self._q.put(self._fn(a))
+            self._q.put(None)
+        except BaseException as e:  # surface decode errors to the consumer
+            self._q.put(e)
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass

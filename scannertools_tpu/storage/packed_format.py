@@ -1,0 +1,93 @@
+"""Packed-element container format.
+
+Bit-compatible with the reference's PackedFile source format
+(packed_file_source.cpp:104-119): little-endian ``u64 n`` followed by
+``u64 sizes[n]`` followed by the concatenated payloads. Used both by the
+PackedFile storage backend and as the on-disk element container for named
+streams, so named-stream data files can be read by reference tooling.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Iterable, Iterator, List, Optional, Sequence
+
+
+def write_packed(path: str, elements: Iterable[bytes]) -> int:
+    """Write atomically (temp + rename). Returns element count."""
+    tmp = path + ".tmp"
+    elements = list(elements)
+    with open(tmp, "wb") as f:
+        f.write(struct.pack("<Q", len(elements)))
+        for e in elements:
+            f.write(struct.pack("<Q", len(e)))
+        for e in elements:
+            f.write(e)
+    os.replace(tmp, path)
+    return len(elements)
+
+
+class PackedReader:
+    """Random-access reader (offsets computed once from the header, matching
+    packed_file_source.cpp's sizes→offsets pass)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        with open(path, "rb") as f:
+            (n,) = struct.unpack("<Q", f.read(8))
+            sizes = struct.unpack(f"<{n}Q", f.read(8 * n)) if n else ()
+        self.sizes: List[int] = list(sizes)
+        self.offsets: List[int] = []
+        off = 8 + 8 * n
+        for s in self.sizes:
+            self.offsets.append(off)
+            off += s
+
+    def __len__(self) -> int:
+        return len(self.sizes)
+
+    def read(self, rows: Optional[Sequence[int]] = None) -> Iterator[bytes]:
+        idxs = range(len(self.sizes)) if rows is None else rows
+        with open(self.path, "rb") as f:
+            for i in idxs:
+                f.seek(self.offsets[i])
+                yield f.read(self.sizes[i])
+
+
+class PackedAppender:
+    """Streaming writer that buffers sizes and payload to a temp file, then
+    rewrites the header on commit (element count unknown up front)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._tmp = path + ".tmp.body"
+        self._f = open(self._tmp, "wb")
+        self._sizes: List[int] = []
+
+    def append(self, element: bytes) -> None:
+        self._f.write(element)
+        self._sizes.append(len(element))
+
+    def commit(self) -> None:
+        self._f.close()
+        tmp = self.path + ".tmp"
+        with open(tmp, "wb") as out:
+            out.write(struct.pack("<Q", len(self._sizes)))
+            for s in self._sizes:
+                out.write(struct.pack("<Q", s))
+            with open(self._tmp, "rb") as body:
+                while True:
+                    buf = body.read(1 << 20)
+                    if not buf:
+                        break
+                    out.write(buf)
+        os.replace(tmp, self.path)
+        os.unlink(self._tmp)
+
+    def abort(self) -> None:
+        try:
+            self._f.close()
+            os.unlink(self._tmp)
+        except OSError:
+            pass

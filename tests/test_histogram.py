@@ -1,0 +1,75 @@
+"""Histogram op: exact parity with the cv::calcHist golden model
+(reference TestHistogram, tests/test_all.py:150-159)."""
+
+import numpy as np
+
+
+def test_histogram_op_numeric():
+    import jax.numpy as jnp
+
+    from scannertools_tpu.ops.histogram import (_histogram_jnp,
+                                                histogram_reference_np)
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, size=(3, 17, 23, 3), dtype=np.uint8)
+    got = np.asarray(_histogram_jnp(jnp.asarray(frames)))
+    want = histogram_reference_np(frames)
+    assert got.shape == (3, 3, 16)
+    assert (got == want).all()
+    # each histogram sums to the pixel count
+    assert (got.sum(axis=2) == 17 * 23).all()
+
+
+def test_histogram_pipeline(sc, ingested, video_frames):
+    import scannertools_tpu as st
+    from scannertools_tpu.ops.histogram import histogram_reference_np
+
+    frame = sc.io.Input([ingested])
+    hist = sc.ops.Histogram(frame=frame)
+    out = st.NamedStream(sc, "test1_hist")
+    sc.run(sc.io.Output(hist, [out]),
+           st.PerfParams.manual(work_packet_size=32),
+           cache_mode=st.CacheMode.Overwrite)
+
+    assert out.committed()
+    assert len(out) == len(ingested)
+    got = list(out.load())
+    # load() parses as 3 arrays of 16 int32 (reference types.py:23-27)
+    assert len(got[0]) == 3 and got[0][0].dtype == np.int32
+    want = histogram_reference_np(video_frames)
+    for i in (0, 1, 100, 239):
+        assert (np.stack(got[i]) == want[i]).all(), f"frame {i}"
+
+
+def test_histogram_with_gather(sc, ingested, video_frames):
+    import scannertools_tpu as st
+    from scannertools_tpu.ops.histogram import histogram_reference_np
+
+    idx = [0, 10, 33, 239]
+    frame = sc.io.Input([ingested])
+    sampled = sc.streams.Gather(frame, [idx])
+    hist = sc.ops.Histogram(frame=sampled)
+    out = st.NamedStream(sc, "hist_gather")
+    sc.run(sc.io.Output(hist, [out]), st.PerfParams.estimate(),
+           cache_mode=st.CacheMode.Overwrite)
+    got = list(out.load())
+    assert len(got) == len(idx)
+    want = histogram_reference_np(video_frames[idx])
+    for k in range(len(idx)):
+        assert (np.stack(got[k]) == want[k]).all()
+
+
+def test_cache_modes(sc, ingested):
+    import pytest
+
+    import scannertools_tpu as st
+
+    frame = sc.io.Input([ingested])
+    hist = sc.ops.Histogram(frame=frame)
+    out = st.NamedStream(sc, "hist_cache")
+    o = sc.io.Output(hist, [out])
+    pp = st.PerfParams.manual(work_packet_size=64)
+    sc.run(o, pp, cache_mode=st.CacheMode.Overwrite)
+    with pytest.raises(RuntimeError):
+        sc.run(o, pp, cache_mode=st.CacheMode.Error)
+    sc.run(o, pp, cache_mode=st.CacheMode.Ignore)  # skips silently
