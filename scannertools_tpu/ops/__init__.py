@@ -3,5 +3,6 @@
 scannertools_infra/__init__.py:90-100)."""
 
 from . import histogram  # noqa: F401
+from . import imgproc  # noqa: F401
 from . import misc  # noqa: F401
 from . import shot_detection  # noqa: F401
