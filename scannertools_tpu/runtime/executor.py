@@ -341,7 +341,12 @@ class Executor:
                         outs.append(local[(node.id, k)].data)
                 return tuple(outs)
 
-            jit_cache[key] = jax.jit(segment_fn)
+            import os as _os
+
+            if _os.environ.get("ST_TPU_NO_JIT"):  # debugging escape hatch
+                jit_cache[key] = segment_fn
+            else:
+                jit_cache[key] = jax.jit(segment_fn)
 
         arrays = []
         for e in ext_edges:

@@ -13,7 +13,15 @@ multi-chip path; bench.py uses the real chip).
 
 import os
 
+# Default to CPU when no accelerator plugin is configured. Under the axon
+# TPU tunnel JAX_PLATFORMS is already set to "axon" and tests run on the
+# real chip (which exercises the production backend — pallas kernels
+# included). Multi-chip sharding is validated by test_parallel.py in a
+# subprocess with 8 virtual CPU devices.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Persistent XLA compile cache: repeated suite runs skip the (slow) compiles.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.jax_cache"))
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -69,6 +77,30 @@ def video_frames(test_video):
     cap.release()
     assert len(frames) == test_video["n"]
     return np.stack(frames)
+
+
+@pytest.fixture(scope="session")
+def texture_video(tmp_path_factory):
+    """48 frames of smoothed random texture translating +1 px/frame in x —
+    dense texture everywhere, so optical flow is well-defined (the color-bar
+    video is degenerate for flow: flat background has no gradient)."""
+    import cv2
+
+    path = str(tmp_path_factory.mktemp("video") / "texture.mp4")
+    rng = np.random.default_rng(11)
+    h, w, n = 64, 96, 48
+    big = cv2.GaussianBlur(
+        rng.integers(0, 256, (h, w + n + 8, 3), np.uint8).astype(np.float32),
+        (0, 0), 2.0,
+    )
+    big = ((big - big.min()) / (big.max() - big.min() + 1e-6) * 255) \
+        .astype(np.uint8)
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 24, (w, h))
+    assert writer.isOpened()
+    for i in range(n):
+        writer.write(big[:, i : i + w])
+    writer.release()
+    return {"path": path, "n": n, "h": h, "w": w, "dx_per_frame": 1.0}
 
 
 @pytest.fixture()
