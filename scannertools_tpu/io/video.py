@@ -83,11 +83,14 @@ class VideoDecoder:
     def close(self) -> None:
         self._cap.release()
 
-    def read_frames(self, indices: Sequence[int]) -> np.ndarray:
-        """Decode the given (ascending) frame indices -> [T, H, W, 3] RGB u8."""
-        out = np.empty(
-            (len(indices), self.meta.height, self.meta.width, 3), np.uint8
-        )
+    def read_frames(self, indices: Sequence[int],
+                    out: Optional[np.ndarray] = None) -> np.ndarray:
+        """Decode the given (ascending) frame indices -> [T, H, W, 3] RGB u8.
+        ``out`` lets callers decode into pre-allocated staging (ring slots)."""
+        if out is None:
+            out = np.empty(
+                (len(indices), self.meta.height, self.meta.width, 3), np.uint8
+            )
         with self._lock:
             k = 0
             for run in _runs(indices):

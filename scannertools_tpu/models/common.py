@@ -1,0 +1,125 @@
+"""Shared device primitives for the detection models: IoU, static-shape NMS,
+crop-and-resize, padded top-k box selection.
+
+Reference parity: the reference does NMS on host (`best_nms` in
+facenet_output_kernel_cpu.cpp:156, MTCNN's numpy NMS inside the facenet
+repo, SSD's TF NMS). TPU-native design: everything is fixed-size — boxes
+live in padded [K, 4] arrays with validity masks, NMS is a lax.scan over
+score-sorted rows (sequential keep/suppress decisions, vectorized IoU per
+step), and variable-count results only materialize on the host at sinks.
+This is the standard static-shape answer to the reference's dynamic box
+lists (SURVEY §7 hard part #2).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def iou_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """a: [N,4], b: [M,4] (x1,y1,x2,y2) -> [N,M] IoU."""
+    area_a = jnp.maximum(a[:, 2] - a[:, 0], 0) * jnp.maximum(a[:, 3] - a[:, 1], 0)
+    area_b = jnp.maximum(b[:, 2] - b[:, 0], 0) * jnp.maximum(b[:, 3] - b[:, 1], 0)
+    x1 = jnp.maximum(a[:, None, 0], b[None, :, 0])
+    y1 = jnp.maximum(a[:, None, 1], b[None, :, 1])
+    x2 = jnp.minimum(a[:, None, 2], b[None, :, 2])
+    y2 = jnp.minimum(a[:, None, 3], b[None, :, 3])
+    inter = jnp.maximum(x2 - x1, 0) * jnp.maximum(y2 - y1, 0)
+    union = area_a[:, None] + area_b[None, :] - inter
+    return jnp.where(union > 0, inter / union, 0.0)
+
+
+def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh: float,
+        max_out: int, score_thresh: float = 0.0, mode: str = "union"):
+    """Static-shape NMS.
+
+    boxes: [K,4]; scores: [K] (invalid entries must carry score <=
+    score_thresh). Returns (boxes [max_out,4], scores [max_out], valid
+    [max_out] bool) sorted by descending score, padded with zeros.
+
+    mode="min" reproduces the reference's `best_nms` variant that divides
+    the intersection by the *smaller* area (used by FacenetOutput with
+    threshold 0.1, facenet_output_kernel_cpu.cpp:156-190).
+    """
+    k = boxes.shape[0]
+    order = jnp.argsort(-scores)
+    b = boxes[order]
+    s = scores[order]
+    valid = s > score_thresh
+
+    if mode == "union":
+        overlap = iou_matrix(b, b)
+    else:  # "min": inter / min(area_i, area_j)
+        area = jnp.maximum(b[:, 2] - b[:, 0], 0) * jnp.maximum(b[:, 3] - b[:, 1], 0)
+        x1 = jnp.maximum(b[:, None, 0], b[None, :, 0])
+        y1 = jnp.maximum(b[:, None, 1], b[None, :, 1])
+        x2 = jnp.minimum(b[:, None, 2], b[None, :, 2])
+        y2 = jnp.minimum(b[:, None, 3], b[None, :, 3])
+        inter = jnp.maximum(x2 - x1, 0) * jnp.maximum(y2 - y1, 0)
+        mn = jnp.minimum(area[:, None], area[None, :])
+        overlap = jnp.where(mn > 0, inter / mn, 0.0)
+
+    def step(kept, i):
+        # suppressed iff any higher-scoring kept row overlaps > thresh
+        sup = jnp.any(kept & (overlap[:, i] > iou_thresh) &
+                      (jnp.arange(k) < i))
+        keep_i = valid[i] & ~sup
+        return kept.at[i].set(keep_i), keep_i
+
+    kept0 = jnp.zeros(k, bool)
+    _, keep = jax.lax.scan(step, kept0, jnp.arange(k))
+
+    # compact kept rows to the front (stable by score order)
+    rank = jnp.cumsum(keep) - 1
+    dest = jnp.where(keep, rank, k)  # k = discard slot
+    out_b = jnp.zeros((k + 1, 4), boxes.dtype).at[dest].set(b)[:max_out]
+    out_s = jnp.zeros((k + 1,), scores.dtype).at[dest].set(s)[:max_out]
+    out_v = jnp.zeros((k + 1,), bool).at[dest].set(keep)[:max_out]
+    if max_out > k:
+        pad = max_out - k
+        out_b = jnp.pad(out_b, ((0, pad), (0, 0)))
+        out_s = jnp.pad(out_s, ((0, pad),))
+        out_v = jnp.pad(out_v, ((0, pad),))
+    return out_b, out_s, out_v
+
+
+def crop_and_resize(image: jnp.ndarray, boxes: jnp.ndarray, out_hw) -> jnp.ndarray:
+    """image: [H,W,C]; boxes: [K,4] (x1,y1,x2,y2) in pixels ->
+    [K, oh, ow, C] bilinear crops (degenerate boxes give zeros-safe output).
+    """
+    oh, ow = out_hw
+    H, W, C = image.shape
+
+    def one(box):
+        x1, y1, x2, y2 = box[0], box[1], box[2], box[3]
+        ys = y1 + (y2 - y1) * (jnp.arange(oh) + 0.5) / oh - 0.5
+        xs = x1 + (x2 - x1) * (jnp.arange(ow) + 0.5) / ow - 0.5
+        ys = jnp.clip(ys, 0.0, H - 1.0)
+        xs = jnp.clip(xs, 0.0, W - 1.0)
+        y0 = jnp.floor(ys).astype(jnp.int32)
+        x0 = jnp.floor(xs).astype(jnp.int32)
+        y1i = jnp.minimum(y0 + 1, H - 1)
+        x1i = jnp.minimum(x0 + 1, W - 1)
+        wy = (ys - y0)[:, None, None]
+        wx = (xs - x0)[None, :, None]
+        v00 = image[y0][:, x0]
+        v01 = image[y0][:, x1i]
+        v10 = image[y1i][:, x0]
+        v11 = image[y1i][:, x1i]
+        top = v00 * (1 - wx) + v01 * wx
+        bot = v10 * (1 - wx) + v11 * wx
+        return top * (1 - wy) + bot * wy
+
+    return jax.vmap(one)(boxes)
+
+
+def topk_boxes(boxes: jnp.ndarray, scores: jnp.ndarray, k: int):
+    """Pad/truncate to the k highest-scoring boxes. Returns (boxes [k,4],
+    scores [k]); missing slots carry score -inf."""
+    n = scores.shape[0]
+    if n < k:
+        boxes = jnp.pad(boxes, ((0, k - n), (0, 0)))
+        scores = jnp.pad(scores, ((0, k - n),), constant_values=-jnp.inf)
+    s, idx = jax.lax.top_k(scores, k)
+    return boxes[idx], s

@@ -1,0 +1,281 @@
+"""Multi-person 2D pose estimation — OpenPose/CPM two-branch network with
+Part-Affinity-Field grouping, TPU-native.
+
+Reference parity: the scannertools_caffe pose stack — CPM2 caffe forward
+(cpm2_kernel.cpp:13-28), CPM2Input preprocessing (scale, pad to %8,
+[-0.5,0.5], cpm2_input_kernel_gpu.cpp:97-141) and CPM2Output's multi-person
+PAF grouping (cpm2_output_kernel_cpu.cpp:115-773: per-limb candidate pairs
+scored by a 10-point line integral over the affinity maps, inter threshold
+0.05 / min count 9, greedy assignment, subset merging, prune cnt>=3 &&
+score/cnt>0.4) — and the OpenPose wrapper op (openpose_kernel.cpp). The
+algorithm is Cao et al., "Realtime Multi-Person 2D Pose Estimation using
+Part Affinity Fields" (CVPR 2017); COCO-18 keypoint order matches
+pose_detection.py:10-27.
+
+TPU-native split (SURVEY §7 hard part #3): the network, heatmap peak
+finding (3×3 local-max + top-K per part) and ALL line integrals (one
+gather over [limbs × K × K × 10] sample points) run on device with static
+shapes; only the tiny greedy assignment / subset merge runs on host over
+the padded candidate arrays.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+N_PARTS = 18       # COCO-18 (pose_detection.py:5)
+N_HEAT = 19        # + background
+N_LIMBS = 19
+N_PAF = 38
+MAX_PEAKS = 24     # static per-part peak capacity
+MAX_PEOPLE = 96    # cpm2_output emits <= 96 people
+THRE_PEAK = 0.10   # heatmap peak threshold (OpenPose thre1)
+THRE_PAF = 0.05    # PAF sample threshold (cpm2: inter threshold 0.05)
+MIN_SAMPLES = 9    # of 10 integral samples (cpm2: min-count 9)
+N_SAMPLES = 10
+
+# COCO limb sequence, 0-indexed into the 18 keypoints, and the PAF channel
+# pair feeding each limb (standard COCO OpenPose tables).
+LIMB_SEQ = [
+    (1, 2), (1, 5), (2, 3), (3, 4), (5, 6), (6, 7), (1, 8), (8, 9),
+    (9, 10), (1, 11), (11, 12), (12, 13), (1, 0), (0, 14), (14, 16),
+    (0, 15), (15, 17), (2, 16), (5, 17),
+]
+PAF_IDX = [
+    (12, 13), (20, 21), (14, 15), (16, 17), (22, 23), (24, 25), (0, 1),
+    (2, 3), (4, 5), (6, 7), (8, 9), (10, 11), (28, 29), (30, 31), (34, 35),
+    (32, 33), (36, 37), (18, 19), (26, 27),
+]
+
+
+class _ConvRelu(nn.Module):
+    features: int
+    kernel: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.relu(nn.Conv(self.features, (self.kernel, self.kernel),
+                               padding="SAME", name="conv")(x))
+
+
+class OpenPoseBody(nn.Module):
+    """VGG19(conv1_1..conv4_2) + CPM feature convs + 6 two-branch stages.
+    Output stride 8: heatmaps [B, H/8, W/8, 19], PAFs [..., 38]."""
+
+    stages: int = 6
+
+    @nn.compact
+    def __call__(self, x):  # [B, H, W, 3] in [-0.5, 0.5]
+        # VGG19 front (10 convs)
+        for i, (f, pool) in enumerate([
+            (64, False), (64, True), (128, False), (128, True),
+            (256, False), (256, False), (256, False), (256, True),
+            (512, False), (512, False),
+        ]):
+            x = _ConvRelu(f, name=f"vgg{i}")(x)
+            if pool:
+                x = nn.max_pool(x, (2, 2), (2, 2))
+        # CPM feature reduction
+        x = _ConvRelu(256, name="cpm0")(x)
+        feat = _ConvRelu(128, name="cpm1")(x)
+
+        def branch(inp, out_ch, stage, tag):
+            h = inp
+            if stage == 0:
+                for j in range(3):
+                    h = _ConvRelu(128, name=f"s0_{tag}_{j}")(h)
+                h = _ConvRelu(512, kernel=1, name=f"s0_{tag}_3")(h)
+                h = nn.Conv(out_ch, (1, 1), name=f"s0_{tag}_4")(h)
+            else:
+                for j in range(5):
+                    h = _ConvRelu(128, kernel=7, name=f"s{stage}_{tag}_{j}")(h)
+                h = _ConvRelu(128, kernel=1, name=f"s{stage}_{tag}_5")(h)
+                h = nn.Conv(out_ch, (1, 1), name=f"s{stage}_{tag}_6")(h)
+            return h
+
+        paf = branch(feat, N_PAF, 0, "L1")
+        heat = branch(feat, N_HEAT, 0, "L2")
+        for s in range(1, self.stages):
+            inp = jnp.concatenate([paf, heat, feat], axis=-1)
+            paf = branch(inp, N_PAF, s, "L1")
+            heat = branch(inp, N_HEAT, s, "L2")
+        return heat, paf
+
+
+def init_params(rng: jax.Array, stages: int = 6) -> Dict[str, Any]:
+    return OpenPoseBody(stages=stages).init(
+        rng, jnp.zeros((1, 64, 64, 3))
+    )
+
+
+def find_peaks(heat: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """heat: [H, W, 19] -> peaks [18, MAX_PEAKS, 3] (x, y, score) and
+    valid mask [18, MAX_PEAKS]. 3×3 local maxima above THRE_PEAK."""
+    h, w, _ = heat.shape
+    hm = heat[..., :N_PARTS]
+    pad = jnp.pad(hm, ((1, 1), (1, 1), (0, 0)), constant_values=-1.0)
+    is_max = jnp.ones_like(hm, dtype=bool)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            nb = pad[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+            is_max &= hm >= nb
+    score = jnp.where(is_max & (hm > THRE_PEAK), hm, -1.0)  # [H,W,18]
+    flat = score.transpose(2, 0, 1).reshape(N_PARTS, -1)
+    top, idx = jax.lax.top_k(flat, MAX_PEAKS)
+    ys = (idx // w).astype(jnp.float32)
+    xs = (idx % w).astype(jnp.float32)
+    peaks = jnp.stack([xs, ys, top], axis=-1)
+    return peaks, top > 0
+
+
+def limb_scores(paf: jnp.ndarray, peaks: jnp.ndarray, valid: jnp.ndarray):
+    """Line-integral scores for every candidate limb connection.
+
+    paf: [H, W, 38]; peaks: [18, MAX_PEAKS, 3]; -> scores
+    [N_LIMBS, MAX_PEAKS, MAX_PEAKS] (with -inf for infeasible pairs) —
+    vectorizing cpm2_output_kernel_cpu.cpp:277-316's 10-point integral.
+    """
+    h, w, _ = paf.shape
+
+    a_idx = jnp.array([a for a, _ in LIMB_SEQ])
+    b_idx = jnp.array([b for _, b in LIMB_SEQ])
+    cx_idx = jnp.array([c for c, _ in PAF_IDX])
+    cy_idx = jnp.array([c for _, c in PAF_IDX])
+
+    pa = peaks[a_idx]  # [L, K, 3]
+    pb = peaks[b_idx]
+    va = valid[a_idx]
+    vb = valid[b_idx]
+
+    ax = pa[:, :, None, 0]
+    ay = pa[:, :, None, 1]
+    bx = pb[:, None, :, 0]
+    by = pb[:, None, :, 1]
+    dx = bx - ax  # [L, K, K]
+    dy = by - ay
+    norm = jnp.sqrt(dx * dx + dy * dy) + 1e-8
+    ux, uy = dx / norm, dy / norm
+
+    ts = (jnp.arange(N_SAMPLES, dtype=jnp.float32) + 0.5) / N_SAMPLES
+    sx = ax[..., None] + dx[..., None] * ts  # [L, K, K, S]
+    sy = ay[..., None] + dy[..., None] * ts
+    xi = jnp.clip(jnp.round(sx), 0, w - 1).astype(jnp.int32)
+    yi = jnp.clip(jnp.round(sy), 0, h - 1).astype(jnp.int32)
+
+    paf_flat = paf.reshape(-1, N_PAF)
+    lin = yi * w + xi  # [L, K, K, S]
+    px = paf_flat[lin.reshape(-1), :].reshape(*lin.shape, N_PAF)
+    fx = jnp.take_along_axis(
+        px, cx_idx[:, None, None, None, None], axis=-1)[..., 0]
+    fy = jnp.take_along_axis(
+        px, cy_idx[:, None, None, None, None], axis=-1)[..., 0]
+    dots = fx * ux[..., None] + fy * uy[..., None]  # [L, K, K, S]
+
+    n_good = jnp.sum(dots > THRE_PAF, axis=-1)
+    mean_score = jnp.mean(dots, axis=-1)
+    dist_prior = jnp.minimum(0.5 * h / norm - 1.0, 0.0)
+    score = mean_score + dist_prior
+    feasible = (
+        (n_good >= MIN_SAMPLES) & (score > 0)
+        & va[:, :, None] & vb[:, None, :]
+    )
+    return jnp.where(feasible, score, -jnp.inf)
+
+
+def infer_maps(variables, frames_pm5: jnp.ndarray, out_hw: Tuple[int, int]):
+    """frames in [-0.5, 0.5] [T,H,W,3] -> (heat [T,h,w,19], paf [T,h,w,38])
+    resized to out_hw (the CPM2 resized-heatmap contract)."""
+    heat, paf = OpenPoseBody().apply(variables, frames_pm5)
+    t = frames_pm5.shape[0]
+    oh, ow = out_hw
+    heat = jax.image.resize(heat, (t, oh, ow, N_HEAT), "linear")
+    paf = jax.image.resize(paf, (t, oh, ow, N_PAF), "linear")
+    return heat, paf
+
+
+def device_stage(variables, frames_f32: jnp.ndarray):
+    """Full device side for a chunk: [T,H,W,3] raw [0,255] ->
+    (peaks [T,18,K,3], valid [T,18,K], scores [T,L,K,K]).
+    Preprocess matches CPM2Input: /256 - 0.5 (cpm2_input_kernel_gpu.cpp)."""
+    x = frames_f32 / 256.0 - 0.5
+    t, h, w, _ = x.shape
+    heat, paf = infer_maps(variables, x, (h, w))
+
+    def per_frame(hm, pf):
+        peaks, valid = find_peaks(hm)
+        return peaks, valid, limb_scores(pf, peaks, valid)
+
+    return jax.vmap(per_frame)(heat, paf)
+
+
+# ----------------------------------------------------------- host grouping
+
+def group_people(peaks: np.ndarray, valid: np.ndarray,
+                 scores: np.ndarray) -> List[Tuple[float, np.ndarray]]:
+    """Greedy limb assignment + subset merging (host; tiny data).
+
+    peaks: [18, K, 3]; valid: [18, K]; scores: [L, K, K].
+    Returns [(person_score, kp [18,3] pixel coords)] with the reference's
+    pruning: >=3 joints and score/cnt > 0.4 (cpm2_output pruning).
+    """
+    K = peaks.shape[1]
+    # subsets: dict of part -> peak index, plus score/count bookkeeping
+    subsets: List[Dict] = []
+
+    for l, (pa, pb) in enumerate(LIMB_SEQ):
+        s = scores[l]
+        cands = [(s[i, j], i, j)
+                 for i in range(K) for j in range(K)
+                 if np.isfinite(s[i, j])]
+        cands.sort(reverse=True)
+        used_a, used_b = set(), set()
+        for sc, i, j in cands:
+            if i in used_a or j in used_b:
+                continue
+            used_a.add(i)
+            used_b.add(j)
+            # find subsets containing either endpoint
+            found = [ss for ss in subsets
+                     if ss["parts"].get(pa) == i or ss["parts"].get(pb) == j]
+            if not found:
+                ss = {"parts": {pa: i, pb: j},
+                      "score": sc + peaks[pa, i, 2] + peaks[pb, j, 2]}
+                subsets.append(ss)
+            elif len(found) == 1:
+                ss = found[0]
+                added = 0.0
+                if pa not in ss["parts"]:
+                    ss["parts"][pa] = i
+                    added += peaks[pa, i, 2]
+                if pb not in ss["parts"]:
+                    ss["parts"][pb] = j
+                    added += peaks[pb, j, 2]
+                ss["score"] += sc + added
+            else:
+                # merge disjoint subsets connected by this limb
+                s1, s2 = found[0], found[1]
+                if not (set(s1["parts"]) & set(s2["parts"])):
+                    s1["parts"].update(s2["parts"])
+                    s1["score"] += s2["score"] + sc
+                    subsets.remove(s2)
+
+    people = []
+    for ss in subsets:
+        cnt = len(ss["parts"])
+        if cnt < 3 or ss["score"] / cnt < 0.4:  # reference pruning
+            continue
+        kp = np.zeros((N_PARTS, 3), np.float32)
+        for part, pk in ss["parts"].items():
+            kp[part] = peaks[part, pk]
+        people.append((float(ss["score"] / cnt), kp))
+    people.sort(key=lambda p: -p[0])
+    return people[:MAX_PEOPLE]

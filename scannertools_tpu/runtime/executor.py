@@ -194,6 +194,15 @@ class Executor:
         chunks = list(range(0, n_out, W))
         decoder = in_stream.decoder() if getattr(in_stream, "is_video", False) else None
 
+        ring = None
+        if decoder is not None and stream_meta:
+            from ..io.prefetch import ChunkRing
+
+            frame_bytes = stream_meta["height"] * stream_meta["width"] * 3
+            max_frames = W + (src_hi - src_lo)
+            ring = ChunkRing(max_frames * frame_bytes,
+                             perf.prefetch_depth + 2)
+
         def decode_chunk(a: int):
             b = min(a + W, n_out) - 1
             T = b - a + 1
@@ -203,7 +212,17 @@ class Executor:
             src_rows = [rows[p] for p in positions]
             with self.profiler.span("source:read"):
                 if decoder is not None:
-                    data = FrameChunk.from_hwc(decoder.read_frames(src_rows))
+                    out_buf = None
+                    if ring is not None:
+                        h, w = stream_meta["height"], stream_meta["width"]
+                        slot = ring.acquire()
+                        out_buf = slot[: len(src_rows) * h * w * 3].reshape(
+                            len(src_rows), h, w, 3
+                        )
+                    frames = decoder.read_frames(src_rows, out=out_buf)
+                    if ring is not None:
+                        ring.commit()
+                    data = FrameChunk.from_hwc(frames)
                     val = _Value(data, src_lo, src_hi, is_device=False)
                 else:
                     elems = list(in_stream.load_bytes(src_rows))
@@ -226,6 +245,11 @@ class Executor:
                         continue
                     val = values[(edge.node.id, edge.index)]
                     self._write_column(writer, edge, val, T)
+                if ring is not None:
+                    # all device work for this chunk is synced by the
+                    # device_get in sink writes / host-op conversions above,
+                    # so the staging slot can be recycled
+                    ring.release()
                 if show_progress:
                     print(f"  job {job}: rows {a + T}/{n_out}", flush=True)
 
@@ -259,6 +283,8 @@ class Executor:
             raise
         finally:
             prefetched.close()
+            if ring is not None:
+                ring.close()
             if decoder is not None:
                 decoder.close()
             ctx.close()
@@ -389,6 +415,10 @@ class Executor:
 
         if node.id in ws_ids:
             for slot, a in enumerate(args):
+                # accumulated values outlive the chunk; frame arrays may be
+                # views of recycled decode-ring slots -> deep copy here
+                if isinstance(a, np.ndarray):
+                    a = a.copy()
                 ws_acc[node.id][slot].append(a)
             return
 

@@ -30,10 +30,29 @@ def write_packed(path: str, elements: Iterable[bytes]) -> int:
 
 class PackedReader:
     """Random-access reader (offsets computed once from the header, matching
-    packed_file_source.cpp's sizes→offsets pass)."""
+    packed_file_source.cpp's sizes→offsets pass).
+
+    Uses the native mmap reader (runtime/native/st_io.cpp) when available —
+    elements come zero-copy out of the page cache; falls back to seek+read.
+    """
 
     def __init__(self, path: str):
         self.path = path
+        self._native = None
+        self._h = None
+        from ..utils import native as _native_mod
+
+        lib = _native_mod.load("st_io")
+        if lib is not None:
+            h = lib.st_packed_open(path.encode())
+            if h:
+                self._native = lib
+                self._h = h
+                self.sizes = [
+                    lib.st_packed_size(h, i)
+                    for i in range(lib.st_packed_count(h))
+                ]
+                return
         with open(path, "rb") as f:
             (n,) = struct.unpack("<Q", f.read(8))
             sizes = struct.unpack(f"<{n}Q", f.read(8 * n)) if n else ()
@@ -49,10 +68,26 @@ class PackedReader:
 
     def read(self, rows: Optional[Sequence[int]] = None) -> Iterator[bytes]:
         idxs = range(len(self.sizes)) if rows is None else rows
+        if self._native is not None:
+            import ctypes
+
+            for i in idxs:
+                ptr = self._native.st_packed_ptr(self._h, i)
+                yield ctypes.string_at(ptr, self.sizes[i]) \
+                    if self.sizes[i] else b""
+            return
         with open(self.path, "rb") as f:
             for i in idxs:
                 f.seek(self.offsets[i])
                 yield f.read(self.sizes[i])
+
+    def __del__(self):
+        if self._native is not None and self._h:
+            try:
+                self._native.st_packed_close(self._h)
+            except Exception:
+                pass
+            self._h = None
 
 
 class PackedAppender:

@@ -1,0 +1,38 @@
+"""Legacy Pipeline API (reference old/prelude.py:219-424 UX:
+``compute_histograms(sc, videos=[...])`` with job-level caching)."""
+
+import numpy as np
+
+
+def test_compute_histograms_runner(sc, ingested, video_frames):
+    from scannertools_tpu.pipelines import compute_histograms
+    from scannertools_tpu.ops.histogram import histogram_reference_np
+
+    outs = compute_histograms(sc, videos=[ingested],
+                              frames=[list(range(0, 40, 5))])
+    assert len(outs) == 1
+    got = list(outs[0].load())
+    assert len(got) == 8
+    want = histogram_reference_np(video_frames[0:40:5])
+    assert (np.stack(got[0]) == want[0]).all()
+    # job-level cache: second run skips committed output (old/prelude.py:241)
+    outs2 = compute_histograms(sc, videos=[ingested],
+                               frames=[list(range(0, 40, 5))])
+    assert outs2[0].committed()
+
+
+def test_brightness_pipeline_runner(sc, ingested):
+    from scannertools_tpu.pipelines import compute_brightness
+
+    outs = compute_brightness(sc, videos=[ingested], frames=[[0, 1, 2]])
+    vals = list(outs[0].load())
+    assert len(vals) == 3
+    assert all(0 <= float(v[0]) <= 255 for v in vals)
+
+
+def test_shot_detection_pipeline_runner(sc, ingested, test_video):
+    from scannertools_tpu.pipelines import detect_shots
+
+    outs = detect_shots(sc, videos=[ingested])
+    found = next(outs[0].load(rows=[0]))
+    assert found == test_video["cuts"]
