@@ -158,13 +158,15 @@ def _pallas_available() -> bool:
 @register_op("Histogram", kind="device", outputs=("histogram",))
 def histogram(ctx, frames, bins: int = BINS, use_pallas: bool = True):
     """frames: FrameChunk (or [T,H,W,3] u8) -> [T, 3, 16] int32."""
+    from ..utils.flags import sharded_mode
+
     assert bins == BINS, "reference fixes 16 bins (histogram_kernel_cpu.cpp:8)"
     if not isinstance(frames, FrameChunk):
         return _histogram_jnp(jnp.asarray(frames))
     if frames.c != 3:
         return _histogram_jnp_flat(jnp.asarray(frames.flat), frames.npix,
                                    frames.c)
-    if use_pallas and _pallas_available():
+    if use_pallas and not sharded_mode.get() and _pallas_available():
         return _histogram_pallas(frames)
     return _histogram_jnp_flat(jnp.asarray(frames.flat), frames.npix, 3)
 

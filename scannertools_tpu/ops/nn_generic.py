@@ -1,0 +1,114 @@
+"""Generic NN ops: model registry + descriptor-driven forward pass.
+
+Reference parity: the generic ``Caffe`` op + ``CaffeInput`` preprocessing
+(caffe_kernel.{h,cpp}: loads a net from a NetDescriptor, reshapes the input
+blob, runs ForwardPrefilled, emits each output blob as an F32 frame;
+caffe_input_kernel.cpp: Halide resize + mean-subtract + channel swap +
+optional /255 + planar transpose). TPU-native: models live in a python
+registry of (init, apply) pairs (flax), the descriptor selects one by
+``model_path`` name, and preprocessing is a fused device op.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..registry import register_op
+from ..utils.framechunk import FrameChunk, as_hwc_f32
+from ..utils.net_descriptor import NetDescriptor
+from .faces import _MODEL_CACHE, _get_params
+
+# name -> (init_fn(rng) -> variables, apply_fn(variables, x) -> output(s))
+_NN_REGISTRY: Dict[str, Tuple[Callable, Callable]] = {}
+
+
+def register_model(name: str, init_fn: Callable, apply_fn: Callable) -> None:
+    """Register a model for the generic NNForward op (the analog of caffe
+    prototxt paths in NetDescriptor.model_path)."""
+    _NN_REGISTRY[name] = (init_fn, apply_fn)
+
+
+def get_model(name: str) -> Tuple[Callable, Callable]:
+    if name not in _NN_REGISTRY:
+        raise KeyError(
+            f"no registered model {name!r}; available: {sorted(_NN_REGISTRY)}"
+        )
+    return _NN_REGISTRY[name]
+
+
+def _register_builtins() -> None:
+    from ..models import facenet, gender, mtcnn, pose, ssd
+
+    register_model("facenet_inception_resnet_v1", facenet.init_params,
+                   facenet.embed)
+    register_model("ssd_mobilenet_v1", ssd.init_params, ssd.detect)
+    register_model("gender_levi_hassner", gender.init_params,
+                   gender.LeviHassner().apply)
+    register_model("openpose_body", pose.init_params,
+                   pose.OpenPoseBody().apply)
+
+
+_register_builtins()
+
+
+@register_op("NNInput", kind="device", outputs=("array_f32",))
+def nn_input(ctx, frame, input_width: int = -1, input_height: int = -1,
+             mean_colors=(), normalize: bool = False, transpose: bool = False,
+             pad_mod: int = -1):
+    """CaffeInput-equivalent preprocessing (caffe_input_transformer_base.h:
+    35-99 semantics): resize to descriptor dims, subtract per-channel mean,
+    optional /255 normalize, optional planar transpose, pad to %pad_mod."""
+    x = as_hwc_f32(frame)
+    t, h, w, c = x.shape
+    if input_width > 0 and input_height > 0:
+        x = jax.image.resize(x, (t, input_height, input_width, c), "linear",
+                             antialias=False)
+    if normalize:
+        x = x / 255.0
+    if mean_colors:
+        x = x - jnp.asarray(list(mean_colors), x.dtype)
+    if pad_mod > 0:
+        ph = (-x.shape[1]) % pad_mod
+        pw = (-x.shape[2]) % pad_mod
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    if transpose:
+        x = x.transpose(0, 3, 1, 2)  # NHWC -> NCHW planar, like Caffe blobs
+    return x
+
+
+@register_op("NNForward", kind="host", outputs=("array_f32",))
+def nn_forward(ctx, input, model: str = "", descriptor_path: str = "",
+               weights_path: Optional[str] = None):
+    """Generic forward pass (the reference's ``Caffe`` op,
+    caffe_kernel.cpp:335-431). ``model`` names a registry entry, or
+    ``descriptor_path`` points at a NetDescriptor TOML whose model_path is
+    the registry name. Output: the model's (first) output per frame."""
+    if descriptor_path:
+        desc = NetDescriptor.from_file(descriptor_path)
+        model = model or desc.model_path
+        weights_path = weights_path or (desc.model_weights_path or None)
+    init_fn, apply_fn = get_model(model)
+    variables = _get_params(f"nn:{model}", weights_path, init_fn)
+    key = (f"nn_fn:{model}",)
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = jax.jit(apply_fn)
+    x = np.asarray(input, np.float32)
+    with ctx.profiler.span(f"nn:{model}") if ctx and ctx.profiler else \
+            _null():
+        out = _MODEL_CACHE[key](variables, jnp.asarray(x))
+    if isinstance(out, (tuple, list)):
+        out = out[0]
+    return [np.asarray(o) for o in np.asarray(out)]
+
+
+class _null:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False

@@ -83,6 +83,7 @@ class Executor:
     def __init__(self, client):
         self.client = client
         self.profiler: Profiler = client.profiler
+        self._mesh = None  # set per run() from PerfParams
 
     # ------------------------------------------------------------------ plan
 
@@ -132,8 +133,22 @@ class Executor:
         source = sources[0]
         need = self._intervals(order)
 
+        # Multi-chip: shard the frame axis of device segments over the local
+        # mesh (pipeline_instances_per_node analog; parallel/sharded.py).
+        self._mesh = None
+        n_dev = len(jax.devices())
+        if n_dev > 1 and perf.pipeline_instances_per_node != 1:
+            from ..parallel.sharded import data_mesh
+
+            n = perf.pipeline_instances_per_node
+            self._mesh = data_mesh(min(n if n > 1 else n_dev, n_dev))
+
+        # Multi-host: each process owns a deterministic job slice
+        # (parallel/sharded.py host_job_slice; reference master/worker).
+        from ..parallel.sharded import host_job_slice
+
         n_jobs = len(source.streams)
-        for job in range(n_jobs):
+        for job in host_job_slice(n_jobs):
             sink_streams = self._job_sinks(output, job)
             committed = all(s.committed() for s in sink_streams)
             if committed:
@@ -381,8 +396,27 @@ class Executor:
             if isinstance(data, list):
                 data = np.stack(data)
             arrays.append(data)  # FrameChunks pass through as pytrees
+        if self._mesh is not None:
+            # frames sharded over the data axis; GSPMD partitions the whole
+            # segment and inserts halo collectives for stencil slices
+            from ..parallel.sharded import shard_value
+            from ..utils.flags import sharded_mode
+
+            arrays = [shard_value(self._mesh, a) for a in arrays]
+            token = sharded_mode.set(True)
+            try:
+                with self.profiler.span(
+                        "device:" + "+".join(n.name for n in seg)):
+                    outs = jit_cache[key](*arrays)
+            finally:
+                sharded_mode.reset(token)
+            self._store_segment_outputs(seg, need, values, outs)
+            return
         with self.profiler.span("device:" + "+".join(n.name for n in seg)):
             outs = jit_cache[key](*arrays)
+        self._store_segment_outputs(seg, need, values, outs)
+
+    def _store_segment_outputs(self, seg, need, values, outs):
         k = 0
         for node in seg:
             n_lo, n_hi = need[node.id]

@@ -1,0 +1,110 @@
+"""Multi-chip sharding tests on a virtual 8-device CPU mesh (subprocess —
+the main test session may be bound to a 1-chip TPU backend)."""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+_SCRIPT = textwrap.dedent("""
+    import os
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8")
+    import numpy as np
+    import jax
+    if len(jax.devices()) != 8:
+        # the axon sitecustomize hook pins this sandbox to the tunneled TPU
+        # regardless of JAX_PLATFORMS; only clean environments can build the
+        # virtual CPU mesh
+        print("NO_VIRTUAL_MESH")
+        raise SystemExit(0)
+
+    import scannertools_tpu as st
+    from scannertools_tpu.io.video import VideoMetadata
+    from scannertools_tpu.ops.histogram import histogram_reference_np
+
+    class FakeVideo:
+        is_video = True
+        def __init__(self):
+            rng = np.random.default_rng(0)
+            self.frames = rng.integers(0, 256, (24, 16, 128, 3), np.uint8)
+        def __len__(self): return 24
+        def metadata(self):
+            return VideoMetadata("fake", 24, 24.0, 128, 16)
+        def decoder(self): return self
+        def read_frames(self, idxs, out=None):
+            data = self.frames[list(idxs)]
+            if out is not None:
+                out[:] = data
+                return out
+            return data
+        def close(self): pass
+        def committed(self): return True
+        def type_name(self): return "frame"
+
+    fv = FakeVideo()
+    sc = st.Client(db_path="/tmp/par_db")
+    frame = sc.io.Input([fv])
+    hist = sc.ops.Histogram(frame=frame)
+    out = st.NamedStream(sc, "h8")
+    # pipeline_instances_per_node=8 -> frame axis sharded over all 8 devices
+    sc.run(sc.io.Output(hist, [out]),
+           st.PerfParams.manual(work_packet_size=16,
+                                pipeline_instances_per_node=8),
+           cache_mode=st.CacheMode.Overwrite)
+    got = np.stack([np.stack(h) for h in out.load()])
+    want = histogram_reference_np(fv.frames)
+    assert (got == want).all(), "sharded histogram mismatch"
+
+    # stenciled op across shard boundaries: FrameDifference needs frame i-1
+    # which lives on the previous device for shard-edge rows
+    fd = sc.ops.FrameDifference(frames=frame)
+    out2 = st.NamedStream(sc, "fd8")
+    sc.run(sc.io.Output(fd, [out2]),
+           st.PerfParams.manual(work_packet_size=24,
+                                pipeline_instances_per_node=8),
+           cache_mode=st.CacheMode.Overwrite)
+    got2 = list(out2.load())
+    for i in (1, 3, 6, 9, 12, 21):  # includes shard-boundary rows (3, 6...)
+        want2 = np.abs(fv.frames[i].astype(np.int16)
+                       - fv.frames[i-1].astype(np.int16)).astype(np.uint8)
+        assert (got2[i] == want2).all(), f"stencil row {i} wrong across shards"
+    print("MULTICHIP_OK")
+""")
+
+
+def test_sharded_pipeline_8_virtual_devices(tmp_path):
+    env = dict(os.environ)
+    # must be set before interpreter start: the axon sitecustomize hook
+    # initializes the TPU plugin otherwise
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8")
+    env["JAX_COMPILATION_CACHE_DIR"] = os.path.expanduser("~/.jax_cache")
+    script = tmp_path / "par.py"
+    script.write_text(_SCRIPT)
+    try:
+        res = subprocess.run(
+            [sys.executable, str(script)], env=env, capture_output=True,
+            text=True, timeout=540,
+        )
+    except subprocess.TimeoutExpired:
+        pytest.skip("virtual-CPU-mesh subprocess timed out (flaky CPU "
+                    "backend in this tunneled environment)")
+    if "NO_VIRTUAL_MESH" in res.stdout:
+        pytest.skip("environment pins JAX to the tunneled TPU; virtual CPU "
+                    "mesh unavailable (driver dryrun covers this path)")
+    assert "MULTICHIP_OK" in res.stdout, res.stdout + res.stderr
+
+
+def test_host_job_slice_partition():
+    from scannertools_tpu.parallel.sharded import host_job_slice
+
+    slices = [host_job_slice(10, pi, 3) for pi in range(3)]
+    all_jobs = [j for s in slices for j in s]
+    assert sorted(all_jobs) == list(range(10))
+    assert not (set(slices[0]) & set(slices[1]))
