@@ -121,6 +121,13 @@ class Client:
     ):
         self._executor.run(output, perf_params, cache_mode, show_progress)
 
+    def table(self, name: str) -> "NamedStream":
+        """Handle to a named stream (reference ``sc.table(name)``, used e.g.
+        for ``sc.table(t).profiler().write_trace(...)``)."""
+        stream = NamedStream(self, name)
+        stream.profiler = lambda: self.profiler  # type: ignore[attr-defined]
+        return stream
+
     def summarize(self) -> str:
         lines = ["profiler totals (s):"]
         for k, v in sorted(self.profiler.totals().items()):

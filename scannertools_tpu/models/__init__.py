@@ -3,4 +3,5 @@
 Pretrained weights are not bundled (no-egress build environment); load them
 via models/weights.py (npz, or ported from torch state_dicts)."""
 
-from . import common, facenet, gender, mtcnn, ssd, weights  # noqa: F401
+from . import (common, facenet, facenet_detector, gender, maskrcnn,  # noqa: F401
+               mtcnn, pose, ssd, weights)

@@ -168,11 +168,17 @@ def facenet_output(ctx, scores, frame_info, templates=None,
             w0, h0 = float(tpl[k, 0]), float(tpl[k, 1])
             cx = (x + 0.5) * stride + float(adj[y, x, k, 0]) * w0
             cy = (y + 0.5) * stride + float(adj[y, x, k, 1]) * h0
-            w = w0 * math.exp(float(adj[y, x, k, 2]))
-            h = h0 * math.exp(float(adj[y, x, k, 3]))
+            # clip exponents: untrained/garbage adjustments must not
+            # produce boxes outside the frame
+            w = w0 * math.exp(min(max(float(adj[y, x, k, 2]), -4.0), 4.0))
+            h = h0 * math.exp(min(max(float(adj[y, x, k, 3]), -4.0), 4.0))
+            x1 = min(max(cx - w / 2, 0.0), float(fi.width))
+            y1 = min(max(cy - h / 2, 0.0), float(fi.height))
+            x2 = min(max(cx + w / 2, 0.0), float(fi.width))
+            y2 = min(max(cy + h / 2, 0.0), float(fi.height))
+            if x2 <= x1 or y2 <= y1:
+                continue  # degenerate after clamping
             boxes.append(protobufs.BoundingBox(
-                x1=max(cx - w / 2, 0), y1=max(cy - h / 2, 0),
-                x2=min(cx + w / 2, fi.width), y2=min(cy + h / 2, fi.height),
-                score=float(conf[y, x, k])))
+                x1=x1, y1=y1, x2=x2, y2=y2, score=float(conf[y, x, k])))
         out.append(_nms_host(boxes, nms_threshold, mode="min"))
     return out

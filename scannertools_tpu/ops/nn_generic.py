@@ -42,7 +42,7 @@ def get_model(name: str) -> Tuple[Callable, Callable]:
 
 
 def _register_builtins() -> None:
-    from ..models import facenet, gender, mtcnn, pose, ssd
+    from ..models import facenet, facenet_detector, gender, pose, ssd
 
     register_model("facenet_inception_resnet_v1", facenet.init_params,
                    facenet.embed)
@@ -51,6 +51,8 @@ def _register_builtins() -> None:
                    gender.LeviHassner().apply)
     register_model("openpose_body", pose.init_params,
                    pose.OpenPoseBody().apply)
+    register_model("facenet_detector", facenet_detector.init_params,
+                   facenet_detector.apply)
 
 
 _register_builtins()

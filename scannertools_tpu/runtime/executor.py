@@ -247,8 +247,10 @@ class Executor:
 
         prefetched = _Prefetcher(decode_chunk, chunks, depth=perf.prefetch_depth)
 
+        last_chunk = [-1, 0]
         try:
             for a, T, src_val in prefetched:
+                last_chunk[:] = (a, T)
                 values: Dict[Tuple[int, int], _Value] = {
                     (source.id, 0): src_val
                 }
@@ -292,7 +294,12 @@ class Executor:
 
             for _, writer, _ in writers:
                 writer.commit()
-        except Exception:
+        except Exception as e:
+            e.add_note(
+                f"scannertools_tpu: job {job}, chunk rows "
+                f"{last_chunk[0]}..{last_chunk[0] + last_chunk[1] - 1} "
+                f"of {n_out}"
+            )
             for _, writer, _ in writers:
                 writer.abort()
             raise

@@ -138,3 +138,23 @@ def test_visualize_labels():
     out = visualize_labels(frame, boxes)
     assert out.sum() > 0
     assert frame.sum() == 0  # input not mutated
+
+
+def test_facenet_detector_full_pipeline(sc, ingested):
+    """The FacenetKernel-equivalent chain: NNInput -> NNForward(facenet
+    detector) -> FacenetOutput with InfoFromFrame rescaling."""
+    import scannertools_tpu as st
+
+    frame = sc.io.Input([ingested])
+    g = sc.streams.Gather(frame, [[0]])
+    pre = sc.ops.NNInput(frame=g, mean_colors=(119.3, 110.6, 101.4))
+    maps = sc.ops.NNForward(input=pre, model="facenet_detector")
+    info = sc.ops.InfoFromFrame(frames=g)
+    faces = sc.ops.FacenetOutput(scores=maps, frame_info=info)
+    out = st.NamedStream(sc, "fnet_faces")
+    sc.run(sc.io.Output(faces, [out]), st.PerfParams.manual(work_packet_size=1),
+           cache_mode=st.CacheMode.Overwrite)
+    got = next(out.load())
+    assert isinstance(got, list)  # random weights: any count, right type
+    for b in got:
+        assert 0 <= b.x1 <= 96 and 0 <= b.y2 <= 64
