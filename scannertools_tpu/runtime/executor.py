@@ -218,6 +218,22 @@ class Executor:
             ring = ChunkRing(max_frames * frame_bytes,
                              perf.prefetch_depth + 2)
 
+        # Double-buffered host->HBM: when every frame consumer is a device
+        # op, the prefetch thread uploads the chunk right after decode, so
+        # transfer overlaps the previous chunk's compute (the north-star
+        # async-transfer pipeline). Mixed host/device consumers keep frames
+        # on the host to avoid a wasteful round trip.
+        frame_node_ids = {source.id} | {
+            n.id for n in order if isinstance(n, SampleNode)
+        }
+        consumers = [
+            n for n in order if isinstance(n, OpNode)
+            and any(e.node.id in frame_node_ids for e in n.inputs.values())
+        ]
+        prefetch_upload = bool(consumers) and all(
+            get_op(n.name).kind == "device" for n in consumers
+        ) and decoder is not None
+
         def decode_chunk(a: int):
             b = min(a + W, n_out) - 1
             T = b - a + 1
@@ -238,7 +254,12 @@ class Executor:
                     if ring is not None:
                         ring.commit()
                     data = FrameChunk.from_hwc(frames)
-                    val = _Value(data, src_lo, src_hi, is_device=False)
+                    if prefetch_upload:
+                        with self.profiler.span("source:upload"):
+                            data = data.device()
+                            jax.block_until_ready(data.flat)
+                    val = _Value(data, src_lo, src_hi,
+                                 is_device=prefetch_upload)
                 else:
                     elems = list(in_stream.load_bytes(src_rows))
                     parse = typeslib.get_type(in_stream.type_name()).parse
