@@ -134,6 +134,28 @@ def _histogram_pallas(chunk: FrameChunk) -> jnp.ndarray:
     return _pallas_hist_fn(t, rows, chunk.npix)(flat)
 
 
+def _histogram_pallas_sharded(chunk: FrameChunk, mesh) -> jnp.ndarray:
+    """shard_map the pallas kernel over the data mesh: each chip histograms
+    its local frame shard (per-frame independence — no collectives)."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    flat = jnp.asarray(chunk.flat)
+    t, rows, _ = flat.shape
+    n = mesh.devices.size
+    pad = (-t) % n
+    if pad:
+        flat = jnp.concatenate([flat, flat[-1:].repeat(pad, 0)])
+    local_t = (t + pad) // n
+    fn = _pallas_hist_fn(local_t, rows, chunk.npix)
+    out = shard_map(
+        fn, mesh=mesh,
+        in_specs=P("data", None, None), out_specs=P("data", None, None),
+        check_vma=False,  # pallas_call's out avals carry no vma info
+    )(flat)
+    return out[:t]
+
+
 _PALLAS_OK = None
 
 
@@ -158,7 +180,7 @@ def _pallas_available() -> bool:
 @register_op("Histogram", kind="device", outputs=("histogram",))
 def histogram(ctx, frames, bins: int = BINS, use_pallas: bool = True):
     """frames: FrameChunk (or [T,H,W,3] u8) -> [T, 3, 16] int32."""
-    from ..utils.flags import sharded_mode
+    from ..utils.flags import current_mesh, sharded_mode
 
     assert bins == BINS, "reference fixes 16 bins (histogram_kernel_cpu.cpp:8)"
     if not isinstance(frames, FrameChunk):
@@ -166,8 +188,11 @@ def histogram(ctx, frames, bins: int = BINS, use_pallas: bool = True):
     if frames.c != 3:
         return _histogram_jnp_flat(jnp.asarray(frames.flat), frames.npix,
                                    frames.c)
-    if use_pallas and not sharded_mode.get() and _pallas_available():
-        return _histogram_pallas(frames)
+    if use_pallas and _pallas_available():
+        if sharded_mode.get() and current_mesh.get() is not None:
+            return _histogram_pallas_sharded(frames, current_mesh.get())
+        if not sharded_mode.get():
+            return _histogram_pallas(frames)
     return _histogram_jnp_flat(jnp.asarray(frames.flat), frames.npix, 3)
 
 

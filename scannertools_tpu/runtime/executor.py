@@ -428,16 +428,18 @@ class Executor:
             # frames sharded over the data axis; GSPMD partitions the whole
             # segment and inserts halo collectives for stencil slices
             from ..parallel.sharded import shard_value
-            from ..utils.flags import sharded_mode
+            from ..utils.flags import current_mesh, sharded_mode
 
             arrays = [shard_value(self._mesh, a) for a in arrays]
             token = sharded_mode.set(True)
+            token_m = current_mesh.set(self._mesh)
             try:
                 with self.profiler.span(
                         "device:" + "+".join(n.name for n in seg)):
                     outs = jit_cache[key](*arrays)
             finally:
                 sharded_mode.reset(token)
+                current_mesh.reset(token_m)
             self._store_segment_outputs(seg, need, values, outs)
             return
         with self.profiler.span("device:" + "+".join(n.name for n in seg)):

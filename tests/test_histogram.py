@@ -73,3 +73,25 @@ def test_cache_modes(sc, ingested):
     with pytest.raises(RuntimeError):
         sc.run(o, pp, cache_mode=st.CacheMode.Error)
     sc.run(o, pp, cache_mode=st.CacheMode.Ignore)  # skips silently
+
+
+def test_histogram_pallas_sharded_one_device_mesh():
+    """shard_map'd pallas kernel on a 1-device mesh (multi-device meshes
+    need real chips; per-frame independence makes N-way correctness follow)."""
+    import jax
+    import pytest
+
+    from scannertools_tpu.ops.histogram import (_histogram_pallas_sharded,
+                                                _pallas_available,
+                                                histogram_reference_np)
+    from scannertools_tpu.parallel.sharded import data_mesh
+    from scannertools_tpu.utils.framechunk import FrameChunk
+
+    if not _pallas_available():
+        pytest.skip("no TPU pallas backend")
+    fr = np.random.default_rng(0).integers(0, 256, (5, 32, 48, 3), np.uint8)
+    chunk = FrameChunk.from_hwc(fr).device()
+    mesh = data_mesh(1)
+    out = np.asarray(jax.jit(
+        lambda c: _histogram_pallas_sharded(c, mesh))(chunk))
+    assert (out == histogram_reference_np(fr)).all()
