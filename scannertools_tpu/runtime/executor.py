@@ -110,10 +110,20 @@ class Executor:
 
     def _effective_rows(self, order: List[Node], source: InputNode, job: int,
                         n_rows: int) -> List[int]:
+        samples = [n for n in order if isinstance(n, SampleNode)]
+        # chained samplers compose (Range of a Stride etc.); *parallel*
+        # branches sampling the same source differently would need
+        # per-branch row domains — reject rather than silently compose
+        heads = [s for s in samples
+                 if not isinstance(s.inputs["input"].node, SampleNode)]
+        if len(heads) > 1:
+            raise NotImplementedError(
+                "multiple independent sampling branches on one Input are "
+                "not supported; sample once and branch after"
+            )
         rows = list(range(n_rows))
-        for node in order:
-            if isinstance(node, SampleNode):
-                rows = [rows[i] for i in node.indices(job, len(rows))]
+        for node in samples:
+            rows = [rows[i] for i in node.indices(job, len(rows))]
         return rows
 
     # ------------------------------------------------------------------ run
