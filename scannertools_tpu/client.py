@@ -10,9 +10,9 @@ jax.distributed + the parallel work-queue (parallel/), not a master process.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence, Union
+from typing import Any, Dict, Optional, Sequence, Union
 
-from .config import CacheMode, Config, DeviceType, PerfParams
+from .config import CacheMode, Config, PerfParams
 from .graph import (InputNode, Node, NodeOutput, OpNode, OutputNode,
                     SampleNode, as_output)
 from .registry import get_op, has_op

@@ -10,8 +10,7 @@ JAX programs per frame-chunk (see runtime/executor.py).
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+from typing import Any, Dict, List, Optional, Sequence, Union
 
 
 class NodeOutput:

@@ -21,8 +21,7 @@ Pretrained torch weights port through models/weights.py.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, List, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -20,7 +20,7 @@ cascade jits once per (frame-shape, batch) and is vmapped over frames.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, List, Tuple
 
 import numpy as np
 

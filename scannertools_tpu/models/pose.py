@@ -21,7 +21,6 @@ the padded candidate arrays.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, List, Tuple
 
 import numpy as np

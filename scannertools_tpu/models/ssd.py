@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .common import nms, topk_boxes
+from .common import iou_matrix
 
 NUM_CLASSES = 90  # COCO labels 1..90
 NUM_OUT = 100     # object_detection.py:47 reads fixed 100 boxes

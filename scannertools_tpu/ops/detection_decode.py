@@ -20,7 +20,7 @@ Reference parity:
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Sequence
+from typing import List
 
 import numpy as np
 

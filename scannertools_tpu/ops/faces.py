@@ -14,7 +14,6 @@ box lists are assembled on the host. Model parameters come from
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, List, Optional
 
 import numpy as np

@@ -29,16 +29,13 @@ tests can assert bit-equality.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-from .. import protobufs
 from ..registry import register_op
-from ..utils.framechunk import FrameChunk, as_hwc_f32
+from ..utils.framechunk import FrameChunk
 
 
 def _as_u8_hwc(frames):

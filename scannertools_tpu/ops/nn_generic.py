@@ -11,7 +11,7 @@ registry of (init, apply) pairs (flax), the descriptor selects one by
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import numpy as np
 
@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..registry import register_op
-from ..utils.framechunk import FrameChunk, as_hwc_f32
+from ..utils.framechunk import as_hwc_f32
 from ..utils.net_descriptor import NetDescriptor
 from .faces import _MODEL_CACHE, _get_params
 

@@ -9,7 +9,7 @@ whole network + decode + NMS runs as one jitted TPU program per chunk
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 
@@ -20,7 +20,6 @@ from .. import protobufs
 from ..models import ssd as ssd_lib
 from ..models import weights as weights_lib
 from ..registry import register_op
-from ..utils.framechunk import FrameChunk
 from .faces import _get_params, _to_f32_frames, _MODEL_CACHE
 
 

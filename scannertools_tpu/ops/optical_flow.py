@@ -31,7 +31,6 @@ tests (median |Δ| well under 0.1 px on natural-motion sequences).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import numpy as np
 

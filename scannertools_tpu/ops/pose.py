@@ -14,7 +14,7 @@ zero-filled, preserving the serialized layout.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 
@@ -22,10 +22,8 @@ import jax
 import jax.numpy as jnp
 
 from ..models import pose as pose_lib
-from ..models import weights as weights_lib
 from ..registry import register_op
 from ..types import register_type
-from ..utils.framechunk import FrameChunk
 from .faces import _MODEL_CACHE, _get_params, _to_f32_frames
 
 

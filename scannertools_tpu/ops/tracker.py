@@ -17,7 +17,7 @@ downstream ops can join per-track data — a capability the reference lacks.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 

@@ -9,7 +9,7 @@ Re-implemented compactly with PIL.
 from __future__ import annotations
 
 import colorsys
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

@@ -14,8 +14,7 @@ axis (real tp — XLA inserts the all-reduce); the loss all-reduces over
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

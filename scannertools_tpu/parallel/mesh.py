@@ -14,7 +14,7 @@ inserts the collectives from sharding annotations.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ unnecessary here — the executor streams chunks — but the UX is preserved.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional
 
 from ..config import CacheMode, PerfParams
 from ..storage.named import NamedStream, NamedVideoStream

@@ -29,7 +29,7 @@ frames, and must emit exactly T rows.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+from typing import Callable, Dict, Optional, Sequence, Tuple
 
 
 @dataclasses.dataclass

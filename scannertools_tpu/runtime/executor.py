@@ -27,19 +27,17 @@ from __future__ import annotations
 
 import queue
 import threading
-from functools import partial
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 from .. import types as typeslib
 from ..config import CacheMode, PerfParams
 from ..graph import (InputNode, Node, NodeOutput, OpNode, OutputNode,
                      SampleNode, toposort)
-from ..registry import OpDef, get_op
+from ..registry import get_op
 from ..utils.framechunk import FrameChunk
 from .context import OpContext
 from .profiler import Profiler

@@ -15,7 +15,6 @@ path is pluggable — set ``AudioStream.DECODER`` to a callable returning
 from __future__ import annotations
 
 import math
-import struct
 import wave
 from typing import Callable, Optional, Tuple
 

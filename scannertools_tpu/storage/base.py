@@ -14,7 +14,7 @@ chunks to HBM itself, so storage stays host-side and simple.
 from __future__ import annotations
 
 import abc
-from typing import Any, Iterable, Iterator, List, Optional, Sequence
+from typing import Any, Iterator, Optional, Sequence
 
 
 class StoredStream(abc.ABC):

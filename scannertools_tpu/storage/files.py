@@ -10,7 +10,7 @@ requested without support.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 from .base import StorageBackend, StoredStream, StreamWriter
 

@@ -16,12 +16,12 @@ from __future__ import annotations
 import json
 import os
 import shutil
-from typing import Any, Iterator, List, Optional, Sequence
+from typing import Iterator, Optional, Sequence
 
 import numpy as np
 
 from .base import StoredStream, StreamWriter
-from .packed_format import PackedAppender, PackedReader, write_packed
+from .packed_format import PackedAppender, PackedReader
 from ..io import video as videolib
 
 

@@ -8,7 +8,7 @@ by the C++ Python source that unpickles a list and re-pickles per element
 from __future__ import annotations
 
 import pickle
-from typing import Any, List, Optional, Sequence
+from typing import Any, Optional, Sequence
 
 from .base import StorageBackend, StoredStream
 

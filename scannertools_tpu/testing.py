@@ -9,7 +9,6 @@ did with ``from scannertools_infra.tests import sc``.
 
 from __future__ import annotations
 
-import os
 import tempfile
 from typing import Optional
 

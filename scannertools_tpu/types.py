@@ -14,7 +14,7 @@ arrays directly; serialization only happens at sinks / ``load()``.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, List, Optional
+from typing import Any, Callable, Dict
 
 import numpy as np
 

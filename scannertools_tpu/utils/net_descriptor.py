@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import tomllib
-from typing import List, Optional
+from typing import List
 
 
 @dataclasses.dataclass
