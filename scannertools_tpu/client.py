@@ -117,9 +117,16 @@ class Client:
         perf_params: Optional[PerfParams] = None,
         cache_mode: CacheMode = CacheMode.Error,
         show_progress: bool = False,
+        trace_dir: Optional[str] = None,
         **_parity_kwargs,
     ):
-        self._executor.run(output, perf_params, cache_mode, show_progress)
+        """Execute the graph. ``trace_dir`` wraps the run in a jax.profiler
+        trace (device timeline; pair with profiler.write_trace for host
+        spans — the reference's profiler().write_trace analog)."""
+        from .runtime.profiler import jax_trace
+
+        with jax_trace(trace_dir):
+            self._executor.run(output, perf_params, cache_mode, show_progress)
 
     def table(self, name: str) -> "NamedStream":
         """Handle to a named stream (reference ``sc.table(name)``, used e.g.

@@ -34,7 +34,9 @@ class ChunkRing:
     def native(self) -> bool:
         return self._r is not None
 
-    def acquire(self, timeout: float = 60.0) -> np.ndarray:
+    def acquire(self, timeout: float = 900.0) -> np.ndarray:
+        # generous timeout: the consumer may stall minutes on a first-chunk
+        # XLA compile while the producer waits for a free slot
         """Producer: a writable uint8 view of the next free slot."""
         if self._r is None:
             return np.empty(self.slot_bytes, np.uint8)

@@ -160,20 +160,24 @@ _PALLAS_OK = None
 
 
 def _pallas_available() -> bool:
-    """One-time probe: pallas path compiles and matches on a tiny input."""
+    """Probe: the pallas path compiles and matches on a tiny input. The
+    verdict is cached, except that transient execution errors (flaky
+    device transport) leave it undecided so a later call retries."""
     global _PALLAS_OK
     if _PALLAS_OK is None:
         if jax.default_backend() != "tpu":
             _PALLAS_OK = False
-        else:
-            try:
-                x = np.arange(2 * 8 * 16 * 3, dtype=np.uint8).reshape(2, 8, 16, 3)
-                chunk = FrameChunk.from_hwc(x)
-                got = np.asarray(_histogram_pallas(chunk))
-                want = histogram_reference_np(x)
-                _PALLAS_OK = bool((got == want).all())
-            except Exception:
-                _PALLAS_OK = False
+            return False
+        try:
+            x = np.arange(2 * 8 * 16 * 3, dtype=np.uint8).reshape(2, 8, 16, 3)
+            chunk = FrameChunk.from_hwc(x)
+            got = np.asarray(_histogram_pallas(chunk))
+            want = histogram_reference_np(x)
+            _PALLAS_OK = bool((got == want).all())
+        except NotImplementedError:
+            _PALLAS_OK = False  # lowering genuinely unsupported
+        except Exception:
+            return False  # transient (e.g. transport) — retry next call
     return _PALLAS_OK
 
 

@@ -217,14 +217,19 @@ class Executor:
         chunks = list(range(0, n_out, W))
         decoder = in_stream.decoder() if getattr(in_stream, "is_video", False) else None
 
+        # io_packet_size expresses how far ahead the host may read
+        # (reference io packets); realized here as prefetch depth in chunks.
+        # The staging ring needs depth+2 slots: `depth` queued + 1 parked in
+        # the queue handoff + 1 being decoded.
+        depth = max(perf.prefetch_depth,
+                    perf.io_packet_size // max(perf.work_packet_size, 1))
         ring = None
         if decoder is not None and stream_meta:
             from ..io.prefetch import ChunkRing
 
             frame_bytes = stream_meta["height"] * stream_meta["width"] * 3
             max_frames = W + (src_hi - src_lo)
-            ring = ChunkRing(max_frames * frame_bytes,
-                             perf.prefetch_depth + 2)
+            ring = ChunkRing(max_frames * frame_bytes, depth + 2)
 
         # Double-buffered host->HBM: when every frame consumer is a device
         # op, the prefetch thread uploads the chunk right after decode, so
@@ -274,7 +279,7 @@ class Executor:
                     val = _Value([parse(e) for e in elems], src_lo, src_hi, False)
             return a, T, val
 
-        prefetched = _Prefetcher(decode_chunk, chunks, depth=perf.prefetch_depth)
+        prefetched = _Prefetcher(decode_chunk, chunks, depth=depth)
 
         last_chunk = [-1, 0]
         try:
