@@ -201,13 +201,31 @@ def infer_maps(variables, frames_pm5: jnp.ndarray, out_hw: Tuple[int, int]):
     return heat, paf
 
 
-def device_stage(variables, frames_f32: jnp.ndarray):
+def device_stage(variables, frames_f32: jnp.ndarray,
+                 scales: Tuple[float, ...] = (1.0,)):
     """Full device side for a chunk: [T,H,W,3] raw [0,255] ->
     (peaks [T,18,K,3], valid [T,18,K], scores [T,L,K,K]).
-    Preprocess matches CPM2Input: /256 - 0.5 (cpm2_input_kernel_gpu.cpp)."""
+    Preprocess matches CPM2Input: /256 - 0.5 (cpm2_input_kernel_gpu.cpp).
+    Multi-scale: heatmaps/PAFs from each pyramid scale are resized to the
+    base resolution and averaged (the op::Wrapper pose_num_scales /
+    pose_scale_gap semantics, openpose_kernel.cpp:94-141)."""
     x = frames_f32 / 256.0 - 0.5
     t, h, w, _ = x.shape
-    heat, paf = infer_maps(variables, x, (h, w))
+    heat_acc = None
+    paf_acc = None
+    for s in scales:
+        if s == 1.0:
+            xi = x
+        else:
+            hs = max(8, int(round(h * s)) // 8 * 8)
+            ws = max(8, int(round(w * s)) // 8 * 8)
+            xi = jax.image.resize(x, (t, hs, ws, 3), "linear",
+                                  antialias=False)
+        heat, paf = infer_maps(variables, xi, (h, w))
+        heat_acc = heat if heat_acc is None else heat_acc + heat
+        paf_acc = paf if paf_acc is None else paf_acc + paf
+    heat = heat_acc / len(scales)
+    paf = paf_acc / len(scales)
 
     def per_frame(hm, pf):
         peaks, valid = find_peaks(hm)

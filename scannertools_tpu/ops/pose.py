@@ -166,9 +166,14 @@ def openpose(ctx, frame, weights_path: Optional[str] = None,
     padded = np.zeros((t, ph, pw, 3), np.float32)
     padded[:, :h, :w] = frames
 
-    key = ("openpose_fn", ph, pw, t)
+    scales = tuple(
+        max(0.1, 1.0 - i * pose_scale_gap) for i in range(pose_num_scales)
+    )
+    key = ("openpose_fn", ph, pw, t, scales)
     if key not in _MODEL_CACHE:
-        _MODEL_CACHE[key] = jax.jit(pose_lib.device_stage)
+        _MODEL_CACHE[key] = jax.jit(
+            lambda v, a: pose_lib.device_stage(v, a, scales)
+        )
     peaks, valid, scores = _MODEL_CACHE[key](variables, jnp.asarray(padded))
     peaks = np.asarray(peaks)
     valid = np.asarray(valid)
@@ -183,6 +188,78 @@ def openpose(ctx, frame, weights_path: Optional[str] = None,
             body = kp.copy()
             body[:, 0] /= w  # normalize like the reference Pose type
             body[:, 1] /= h
+            full[: Pose.POSE_KEYPOINTS] = body
+            poses.append(Pose(score, full))
+        out.append(poses)
+    return out
+
+
+# ----------------------------------------------- CPM2 name-parity surface
+
+@register_op("CPM2Input", kind="device", outputs=("array_f32",))
+def cpm2_input(ctx, frame, scale: float = 1.0):
+    """CPM2 preprocessing (cpm2_input_kernel_gpu.cpp:97-141): scale, pad
+    W/H to a multiple of 8 with gray(128), map to [-0.5, 0.5] f32."""
+    import jax
+
+    from ..utils.framechunk import as_hwc_f32
+
+    x = as_hwc_f32(frame)
+    t, h, w, c = x.shape
+    if scale != 1.0:
+        h, w = int(round(h * scale)), int(round(w * scale))
+        x = jax.image.resize(x, (t, h, w, c), "linear", antialias=False)
+    ph = (-h) % 8
+    pw = (-w) % 8
+    x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                constant_values=128.0)
+    return x / 256.0 - 0.5
+
+
+@register_op("CPM2", kind="host", outputs=("array_f32", "array_f32"))
+def cpm2(ctx, cpm2_input, weights_path: Optional[str] = None):
+    """CPM2 network forward (cpm2_kernel.cpp:13-52): emits resized heatmaps
+    and PAF maps at input resolution (the ImResizeLayer contract)."""
+    variables = _get_params("openpose", weights_path, pose_lib.init_params)
+    x = np.asarray(cpm2_input, np.float32)
+    t, h, w, _ = x.shape
+    key = ("cpm2_fn", t, h, w)
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = jax.jit(
+            lambda v, a: pose_lib.infer_maps(v, a, (a.shape[1], a.shape[2]))
+        )
+    heat, paf = _MODEL_CACHE[key](variables, jnp.asarray(x))
+    return [np.asarray(m) for m in np.asarray(heat)], \
+        [np.asarray(m) for m in np.asarray(paf)]
+
+
+@register_op("CPM2Output", kind="host", outputs=("pose_list",))
+def cpm2_output(ctx, cpm2_resized_map, cpm2_joints, original_frame_info,
+                threshold: float = pose_lib.THRE_PEAK):
+    """PAF grouping over precomputed maps (cpm2_output_kernel_cpu.cpp:
+    115-773 semantics; see models/pose.py). cpm2_resized_map: heatmaps,
+    cpm2_joints: PAF maps, original_frame_info: FrameInfo for
+    normalization."""
+    out = []
+    for t in range(len(cpm2_resized_map)):
+        heat = jnp.asarray(np.asarray(cpm2_resized_map[t], np.float32))
+        paf = jnp.asarray(np.asarray(cpm2_joints[t], np.float32))
+        key = ("cpm2_group", heat.shape)
+        if key not in _MODEL_CACHE:
+            def fn(hm, pf):
+                peaks, valid = pose_lib.find_peaks(hm)
+                return peaks, valid, pose_lib.limb_scores(pf, peaks, valid)
+            _MODEL_CACHE[key] = jax.jit(fn)
+        peaks, valid, scores = _MODEL_CACHE[key](heat, paf)
+        people = pose_lib.group_people(np.asarray(peaks), np.asarray(valid),
+                                       np.asarray(scores))
+        fi = original_frame_info[t]
+        poses = []
+        for score, kp in people:
+            full = np.zeros((Pose.kp_count(), 3), np.float32)
+            body = kp.copy()
+            body[:, 0] /= max(fi.width, 1)
+            body[:, 1] /= max(fi.height, 1)
             full[: Pose.POSE_KEYPOINTS] = body
             poses.append(Pose(score, full))
         out.append(poses)

@@ -103,3 +103,29 @@ def test_openpose_pipeline_mechanics(sc, ingested):
     assert len(got) == 1
     for p in got[0]:
         assert isinstance(p, Pose)
+
+
+def test_cpm2_chain_and_multiscale(sc, ingested):
+    """CPM2Input -> CPM2 -> CPM2Output name-parity chain, plus the
+    multi-scale OpenPose path (pose_num_scales=2)."""
+    import scannertools_tpu as st
+    from scannertools_tpu.ops.pose import Pose
+
+    frame = sc.io.Input([ingested])
+    g = sc.streams.Gather(frame, [[0]])
+    pre = sc.ops.CPM2Input(frame=g)
+    heat, paf = (n := sc.ops.CPM2(cpm2_input=pre))[0], n[1]
+    info = sc.ops.InfoFromFrame(frames=g)
+    poses = sc.ops.CPM2Output(cpm2_resized_map=heat, cpm2_joints=paf,
+                              original_frame_info=info)
+    out = st.NamedStream(sc, "cpm2_poses")
+    sc.run(sc.io.Output(poses, [out]), st.PerfParams.manual(work_packet_size=1),
+           cache_mode=st.CacheMode.Overwrite)
+    got = next(out.load())
+    assert all(isinstance(p, Pose) for p in got)
+
+    ms = sc.ops.OpenPose(frame=g, pose_num_scales=2, pose_scale_gap=0.1)
+    out2 = st.NamedStream(sc, "ms_poses")
+    sc.run(sc.io.Output(ms, [out2]), st.PerfParams.manual(work_packet_size=1),
+           cache_mode=st.CacheMode.Overwrite)
+    assert len(list(out2.load())) == 1
