@@ -60,7 +60,11 @@ def shot_boundaries(ctx, histograms, window_size: int = WINDOW_SIZE
                     ) -> Sequence[Any]:
     """histograms: accumulated [N, 3, 16] int32 (or list of per-frame [3,16])."""
     if isinstance(histograms, list):
+        if not histograms:  # empty stream -> empty output stream
+            return []
         histograms = np.stack([np.asarray(h).reshape(3, -1) for h in histograms])
     n = histograms.shape[0]
+    if n == 0:
+        return []
     bounds = boundaries_from_histograms(histograms, window_size)
     return [bounds] + [None] * (n - 1)

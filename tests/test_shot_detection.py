@@ -52,3 +52,16 @@ def test_shot_detection_pipeline(sc, ingested, test_video):
     found = next(out.load(rows=[0]))
     # ground truth: the synthetic video's cuts
     assert found == test_video["cuts"], found
+
+
+def test_shot_detection_empty_stream(sc, ingested):
+    """Whole-stream op over an empty sampled range commits a 0-row stream."""
+    import scannertools_tpu as st
+
+    frame = sc.io.Input([ingested])
+    g = sc.streams.Range(frame, [(5, 5)])
+    shots = sc.ops.ShotBoundaries(histograms=sc.ops.Histogram(frame=g))
+    out = st.NamedStream(sc, "empty_shots")
+    sc.run(sc.io.Output(shots, [out]), st.PerfParams.estimate(),
+           cache_mode=st.CacheMode.Overwrite)
+    assert out.committed() and len(out) == 0
