@@ -36,3 +36,33 @@ def test_shot_detection_pipeline_runner(sc, ingested, test_video):
     outs = detect_shots(sc, videos=[ingested])
     found = next(outs[0].load(rows=[0]))
     assert found == test_video["cuts"]
+
+
+def test_flow_histogram_and_drawflow_composition(sc, texture_video):
+    """Flow consumers compose: OpticalFlow -> FlowHistogram + DrawFlow
+    (old/histograms.py:49-81, vis.py:8-12)."""
+    import scannertools_tpu as st
+
+    video = st.NamedVideoStream(sc, "texc", path=texture_video["path"])
+    frame = sc.io.Input([video])
+    g = sc.streams.Range(frame, [(0, 8)])
+    flow = sc.ops.OpticalFlow(frames=g)
+    fh = sc.ops.FlowHistogram(flow=flow)
+    draw = sc.ops.DrawFlow(frame=g, flow=flow)
+    o1, o2 = st.NamedStream(sc, "fh"), st.NamedStream(sc, "df")
+    pp = st.PerfParams.manual(work_packet_size=8)
+    sc.run(sc.io.Output(fh, [o1]), pp, cache_mode=st.CacheMode.Overwrite)
+    sc.run(sc.io.Output(draw, [o2]), pp, cache_mode=st.CacheMode.Overwrite)
+    h = next(o1.load())
+    assert h.shape == (2, 64)
+    w = texture_video["w"]
+    d = next(o2.load())
+    assert d.shape[1] == 2 * w  # frame hstacked with the flow panel
+
+
+def test_hsv_histogram_runner(sc, ingested):
+    from scannertools_tpu.pipelines import compute_hsv_histograms
+
+    outs = compute_hsv_histograms(sc, videos=[ingested], frames=[[0, 1]])
+    got = list(outs[0].load())
+    assert len(got) == 2 and len(got[0]) == 3
