@@ -118,15 +118,19 @@ class Client:
         cache_mode: CacheMode = CacheMode.Error,
         show_progress: bool = False,
         trace_dir: Optional[str] = None,
+        job_distribution: str = "static",
         **_parity_kwargs,
     ):
         """Execute the graph. ``trace_dir`` wraps the run in a jax.profiler
         trace (device timeline; pair with profiler.write_trace for host
-        spans — the reference's profiler().write_trace analog)."""
+        spans — the reference's profiler().write_trace analog).
+        ``job_distribution``: "static" per-host slices or "claims" for
+        elastic storage-backed work stealing (parallel/workqueue.py)."""
         from .runtime.profiler import jax_trace
 
         with jax_trace(trace_dir):
-            self._executor.run(output, perf_params, cache_mode, show_progress)
+            self._executor.run(output, perf_params, cache_mode,
+                               show_progress, job_distribution)
 
     def table(self, name: str) -> "NamedStream":
         """Handle to a named stream (reference ``sc.table(name)``, used e.g.

@@ -132,6 +132,7 @@ class Executor:
         perf_params: Optional[PerfParams] = None,
         cache_mode: CacheMode = CacheMode.Error,
         show_progress: bool = False,
+        job_distribution: str = "static",
     ):
         perf = perf_params or PerfParams.estimate()
         order = toposort(output)
@@ -151,12 +152,28 @@ class Executor:
             n = perf.pipeline_instances_per_node
             self._mesh = data_mesh(min(n if n > 1 else n_dev, n_dev))
 
-        # Multi-host: each process owns a deterministic job slice
-        # (parallel/sharded.py host_job_slice; reference master/worker).
-        from ..parallel.sharded import host_job_slice
-
+        # Multi-host job distribution (reference master/worker analog):
+        # "static"  — deterministic per-process slices (host_job_slice);
+        # "claims"  — elastic storage-backed claims (parallel/workqueue.py).
         n_jobs = len(source.streams)
-        for job in host_job_slice(n_jobs):
+        if job_distribution == "claims":
+            from ..parallel.workqueue import WorkClaims
+
+            run_key = "|".join(
+                getattr(s, "name", f"{type(s).__name__}#{i}")
+                for i, s in enumerate(
+                    x for job_s in output.streams
+                    for x in (job_s if isinstance(job_s, (list, tuple))
+                              else [job_s])
+                )
+            )
+            jobs = WorkClaims(self.client.config.db_path, run_key) \
+                .iter_jobs(n_jobs)
+        else:
+            from ..parallel.sharded import host_job_slice
+
+            jobs = host_job_slice(n_jobs)
+        for job in jobs:
             sink_streams = self._job_sinks(output, job)
             committed = all(s.committed() for s in sink_streams)
             if committed:

@@ -108,3 +108,40 @@ def test_host_job_slice_partition():
     all_jobs = [j for s in slices for j in s]
     assert sorted(all_jobs) == list(range(10))
     assert not (set(slices[0]) & set(slices[1]))
+
+
+def test_work_claims_protocol(tmp_path):
+    import multiprocessing as mp
+
+    from scannertools_tpu.parallel.workqueue import WorkClaims
+
+    q1 = WorkClaims(str(tmp_path), "runA")
+    q2 = WorkClaims(str(tmp_path), "runA")  # second "host", same run
+    jobs1 = list(q1.iter_jobs(10))
+    jobs2 = list(q2.iter_jobs(10))
+    # disjoint and complete across the two claimants
+    assert not (set(jobs1) & set(jobs2))
+    assert sorted(jobs1 + jobs2) == list(range(10))
+    # different run key -> independent claim space
+    q3 = WorkClaims(str(tmp_path), "runB")
+    assert len(list(q3.iter_jobs(3))) == 3
+    # stale reaping frees claims for retry
+    import time
+
+    assert q1.reclaim_stale(older_than_sec=0.0) >= 10
+    q4 = WorkClaims(str(tmp_path), "runA")
+    assert len(list(q4.iter_jobs(10))) == 10
+
+
+def test_run_with_claims_distribution(sc, ingested):
+    """sc.run(job_distribution='claims') executes and commits jobs; a second
+    client racing on the same run key claims nothing."""
+    import scannertools_tpu as st
+
+    frame = sc.io.Input([ingested])
+    g = sc.streams.Gather(frame, [[0, 1]])
+    hist = sc.ops.Histogram(frame=g)
+    out = st.NamedStream(sc, "claims_h")
+    sc.run(sc.io.Output(hist, [out]), st.PerfParams.estimate(),
+           cache_mode=st.CacheMode.Overwrite, job_distribution="claims")
+    assert out.committed() and len(out) == 2
