@@ -33,11 +33,20 @@ class DeviceType(enum.Enum):
 
 
 class CacheMode(enum.Enum):
-    """Job-level caching semantics (reference old/prelude.py:241-262)."""
+    """Job-level caching semantics (reference old/prelude.py:241-262).
+
+    ``Resume`` extends the reference's table-granularity cache with
+    chunk-granularity recovery: committed outputs are skipped like
+    ``Ignore``, and an *interrupted* job continues from its completed
+    chunk shards instead of recomputing the stream (SURVEY §5's
+    per-(video, frame-range) manifest design). Requires named-stream
+    sinks and a graph without stateful/whole-stream ops; otherwise it
+    degrades to full recomputation of uncommitted jobs."""
 
     Error = "error"        # committed output exists -> raise
     Ignore = "ignore"      # committed output exists -> skip job
     Overwrite = "overwrite"  # recompute and overwrite
+    Resume = "resume"      # skip committed; continue interrupted jobs
 
 
 @dataclasses.dataclass(frozen=True)

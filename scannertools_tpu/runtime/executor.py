@@ -182,10 +182,11 @@ class Executor:
                         f"job {job}: output stream already committed "
                         "(pass cache_mode=CacheMode.Ignore/Overwrite)"
                     )
-                if cache_mode == CacheMode.Ignore:
+                if cache_mode in (CacheMode.Ignore, CacheMode.Resume):
                     continue
             self._run_job(output, order, need, source, job, sink_streams,
-                          perf, show_progress)
+                          perf, show_progress,
+                          resume=cache_mode == CacheMode.Resume)
 
     def _job_sinks(self, output: OutputNode, job: int):
         s = output.streams[job]
@@ -194,7 +195,7 @@ class Executor:
         return [s]
 
     def _run_job(self, output, order, need, source, job, sink_streams, perf,
-                 show_progress):
+                 show_progress, resume: bool = False):
         in_stream = source.streams[job]
         stream_meta = {}
         if getattr(in_stream, "is_video", False):
@@ -231,7 +232,34 @@ class Executor:
         jit_cache: Dict[int, Any] = {}
 
         # Prefetching decode ----------------------------------------------
-        chunks = list(range(0, n_out, W))
+        all_chunks = list(range(0, n_out, W))
+        chunks = all_chunks
+
+        # Chunk-granular resume (CacheMode.Resume; SURVEY §5 shard
+        # manifests): requires shard-capable writers and a chunk-local graph
+        # (no stateful carry, no whole-stream accumulation).
+        stateful = any(get_op(n.name).kind == "stateful" for n in op_nodes)
+        shard_mode = (
+            resume and not stateful and not ws_nodes
+            and all(w.supports_shards for _, w, _ in writers)
+        )
+        if shard_mode:
+            done = None
+            for _, w, _ in writers:
+                shards = w.existing_shards()
+                mine = {
+                    a for a in all_chunks
+                    if shards.get(a) == min(a + W, n_out) - a
+                }
+                done = mine if done is None else (done & mine)
+            done = done or set()
+            chunks = [a for a in all_chunks if a not in done]
+            if done and show_progress:
+                print(f"  job {job}: resuming, {len(done)}/"
+                      f"{len(all_chunks)} chunks already done", flush=True)
+        elif resume:
+            shard_mode = False
+
         decoder = in_stream.decoder() if getattr(in_stream, "is_video", False) else None
 
         # io_packet_size expresses how far ahead the host may read
@@ -312,7 +340,8 @@ class Executor:
                     if deferred:
                         continue
                     val = values[(edge.node.id, edge.index)]
-                    self._write_column(writer, edge, val, T)
+                    self._write_column(writer, edge, val, T,
+                                       shard_start=a if shard_mode else None)
                 if ring is not None:
                     # all device work for this chunk is synced by the
                     # device_get in sink writes / host-op conversions above,
@@ -344,7 +373,10 @@ class Executor:
                     writer.append(b"" if el is None else ser(el))
 
             for _, writer, _ in writers:
-                writer.commit()
+                if shard_mode:
+                    writer.commit_from_shards(all_chunks)
+                else:
+                    writer.commit()
         except Exception as e:
             e.add_note(
                 f"scannertools_tpu: job {job}, chunk rows "
@@ -544,19 +576,25 @@ class Executor:
             return s.type_name()
         raise ValueError(f"cannot sink from {node}")
 
-    def _write_column(self, writer, edge, val: _Value, T: int):
+    def _write_column(self, writer, edge, val: _Value, T: int,
+                      shard_start=None):
         data = val.slice_rows(0, 0, T)
         if val.is_device or isinstance(data, FrameChunk):
             data = _to_host(data)
         ser = typeslib.get_type(self._column_type(edge)).serialize
         with self.profiler.span("sink:write"):
             if isinstance(data, list):
-                for el in data:
-                    writer.append(b"" if el is None else
-                                  el if isinstance(el, bytes) else ser(el))
+                elements = [b"" if el is None else
+                            el if isinstance(el, bytes) else ser(el)
+                            for el in data]
             else:
-                for t in range(T):
-                    writer.append(ser(data[t]))
+                elements = [ser(data[t]) for t in range(T)]
+            if shard_start is not None:
+                # durable per-chunk shard (CacheMode.Resume checkpointing)
+                writer.append_shard(shard_start, elements)
+            else:
+                for el in elements:
+                    writer.append(el)
 
 
 def _concat_host(parts: List[Any]):

@@ -62,7 +62,14 @@ class StoredStream(abc.ABC):
 
 class StreamWriter(abc.ABC):
     """Append-elements-then-commit writer; idempotent sinks come from
-    write-to-temp + atomic rename in implementations."""
+    write-to-temp + atomic rename in implementations.
+
+    Writers that additionally support chunk-granular checkpointing (see
+    CacheMode.Resume) set ``supports_shards`` and implement the shard
+    methods; elements then arrive as per-chunk batches keyed by the chunk's
+    starting row."""
+
+    supports_shards = False
 
     @abc.abstractmethod
     def append(self, element: bytes) -> None: ...
@@ -72,6 +79,18 @@ class StreamWriter(abc.ABC):
 
     def abort(self) -> None:
         pass
+
+    # --- shard protocol (supports_shards writers only) -----------------
+    def existing_shards(self):
+        """-> {start_row: n_elements} of durable chunk shards."""
+        return {}
+
+    def append_shard(self, start_row: int, elements) -> None:
+        raise NotImplementedError
+
+    def commit_from_shards(self, chunk_starts) -> None:
+        """Merge the given (ordered) chunk shards into the final stream."""
+        raise NotImplementedError
 
 
 class StorageBackend(abc.ABC):

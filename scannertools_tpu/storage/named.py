@@ -21,7 +21,7 @@ from typing import Iterator, Optional, Sequence
 import numpy as np
 
 from .base import StoredStream, StreamWriter
-from .packed_format import PackedAppender, PackedReader
+from .packed_format import PackedAppender, PackedReader, write_packed
 from ..io import video as videolib
 
 
@@ -80,6 +80,8 @@ class NamedStream(StoredStream):
 
 
 class NamedStreamWriter(StreamWriter):
+    supports_shards = True
+
     def __init__(self, stream: NamedStream, type_name: str):
         self._stream = stream
         self._type = type_name
@@ -98,12 +100,55 @@ class NamedStreamWriter(StreamWriter):
 
     def commit(self) -> None:
         self._appender.commit()
+        self._clear_shards()
         with open(self._stream._manifest_path + ".tmp", "w") as f:
             json.dump({"type": self._type, "n": self._n, "committed": True}, f)
         os.replace(self._stream._manifest_path + ".tmp", self._stream._manifest_path)
 
     def abort(self) -> None:
         self._appender.abort()
+
+    # --- chunk shards (CacheMode.Resume; SURVEY §5 shard manifests) -----
+    @property
+    def _shard_dir(self) -> str:
+        return os.path.join(self._stream._dir, "shards")
+
+    def _clear_shards(self) -> None:
+        shutil.rmtree(self._shard_dir, ignore_errors=True)
+
+    def existing_shards(self):
+        out = {}
+        try:
+            for fn in os.listdir(self._shard_dir):
+                if fn.startswith("shard_") and fn.endswith(".pack"):
+                    start, n = fn[6:-5].split("_")
+                    out[int(start)] = int(n)
+        except OSError:
+            pass
+        return out
+
+    def append_shard(self, start_row: int, elements) -> None:
+        os.makedirs(self._shard_dir, exist_ok=True)
+        elements = list(elements)
+        write_packed(
+            os.path.join(self._shard_dir,
+                         f"shard_{start_row:010d}_{len(elements)}.pack"),
+            elements,
+        )
+
+    def commit_from_shards(self, chunk_starts) -> None:
+        shards = self.existing_shards()
+        self._appender.abort()
+        self._appender = PackedAppender(
+            os.path.join(self._stream._dir, "data.pack"))
+        self._n = 0
+        for a in chunk_starts:
+            n = shards[a]
+            reader = PackedReader(os.path.join(
+                self._shard_dir, f"shard_{a:010d}_{n}.pack"))
+            for el in reader.read():
+                self.append(el)
+        self.commit()
 
 
 class NamedVideoStream(NamedStream):
