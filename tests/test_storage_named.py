@@ -77,3 +77,20 @@ def test_seek_plan_runs():
     assert _runs([0, 1, 2]) == [[0, 1, 2]]
     assert _runs([0, 100, 101]) == [[0], [100, 101]]
     assert _runs([5, 10, 200, 210, 600]) == [[5, 10], [200, 210], [600]]
+
+
+def test_ingest_videos_copy_mode(sc, test_video, tmp_path):
+    """sc.ingest_videos with inplace=False copies the container into the db
+    (reference ingest inplace semantics, infra/tests.py:66-80)."""
+    import os
+
+    import scannertools_tpu as st
+
+    (v,) = sc.ingest_videos([("copied", test_video["path"])], inplace=False)
+    assert v.committed() and len(v) == test_video["n"]
+    assert os.path.dirname(v.video_path()).endswith("copied")
+    # original path no longer needed: delete nothing, just verify db copy
+    assert os.path.isfile(v.video_path())
+
+    (v2,) = sc.ingest_videos([("linked", test_video["path"])], inplace=True)
+    assert v2.video_path() == os.path.abspath(test_video["path"])
