@@ -299,15 +299,18 @@ class Executor:
                 _clamp(p, 0, n_out - 1) for p in range(a + src_lo, b + src_hi + 1)
             ]
             src_rows = [rows[p] for p in positions]
+            out_buf = None
+            if decoder is not None and ring is not None:
+                # slot waits (consumer busy, e.g. compiling) are not decode
+                # time — keep them out of source:read for honest profiles
+                with self.profiler.span("source:wait_slot"):
+                    slot = ring.acquire()
+                h, w = stream_meta["height"], stream_meta["width"]
+                out_buf = slot[: len(src_rows) * h * w * 3].reshape(
+                    len(src_rows), h, w, 3
+                )
             with self.profiler.span("source:read"):
                 if decoder is not None:
-                    out_buf = None
-                    if ring is not None:
-                        h, w = stream_meta["height"], stream_meta["width"]
-                        slot = ring.acquire()
-                        out_buf = slot[: len(src_rows) * h * w * 3].reshape(
-                            len(src_rows), h, w, 3
-                        )
                     frames = decoder.read_frames(src_rows, out=out_buf)
                     if ring is not None:
                         ring.commit()
