@@ -244,6 +244,18 @@ class Executor:
             and all(w.supports_shards for _, w, _ in writers)
         )
         if shard_mode:
+            # namespace shards by the run signature so a changed sampling /
+            # graph / chunk size can never resume from foreign shards
+            import hashlib
+
+            sig_src = repr((
+                rows, W,
+                sorted((n.name, sorted(n.params.items(), key=str))
+                       for n in op_nodes),
+            ))
+            sig = hashlib.sha256(sig_src.encode()).hexdigest()[:12]
+            for _, w, _ in writers:
+                w.shard_key = sig
             done = None
             for _, w, _ in writers:
                 shards = w.existing_shards()

@@ -100,7 +100,11 @@ class NamedStreamWriter(StreamWriter):
 
     def commit(self) -> None:
         self._appender.commit()
-        self._clear_shards()
+        # drop ALL shard namespaces: the stream content is now final
+        for fn in os.listdir(self._stream._dir):
+            if fn.startswith("shards_"):
+                shutil.rmtree(os.path.join(self._stream._dir, fn),
+                              ignore_errors=True)
         with open(self._stream._manifest_path + ".tmp", "w") as f:
             json.dump({"type": self._type, "n": self._n, "committed": True}, f)
         os.replace(self._stream._manifest_path + ".tmp", self._stream._manifest_path)
@@ -109,12 +113,14 @@ class NamedStreamWriter(StreamWriter):
         self._appender.abort()
 
     # --- chunk shards (CacheMode.Resume; SURVEY §5 shard manifests) -----
+    # ``shard_key`` namespaces shards by the run signature (sampled rows +
+    # graph), so a changed Range/Gather between runs can never resume from
+    # a previous run's shards. Set by the executor before shard use.
+    shard_key: str = "default"
+
     @property
     def _shard_dir(self) -> str:
-        return os.path.join(self._stream._dir, "shards")
-
-    def _clear_shards(self) -> None:
-        shutil.rmtree(self._shard_dir, ignore_errors=True)
+        return os.path.join(self._stream._dir, f"shards_{self.shard_key}")
 
     def existing_shards(self):
         out = {}

@@ -30,9 +30,13 @@ def test_resume_after_mid_job_failure(sc, ingested, video_frames):
         sc.run(sc.io.Output(marked, [out]), pp,
                cache_mode=st.CacheMode.Resume)
     assert not out.committed()
-    # chunk 0 survived as a durable shard
-    w = out.writer("array_i32")
-    assert 0 in w.existing_shards()
+    # chunk 0 survived as a durable shard (under the run-signature namespace)
+    import glob
+    import os
+
+    shard0 = glob.glob(os.path.join(out._dir, "shards_*",
+                                    "shard_0000000000_*.pack"))
+    assert shard0, os.listdir(out._dir)
 
     # resume: chunk 0 is NOT recomputed, the rest completes
     calls["fail_at"] = -1
@@ -64,3 +68,37 @@ def test_resume_falls_back_for_stateful_graphs(sc, ingested):
            st.PerfParams.manual(work_packet_size=8),
            cache_mode=st.CacheMode.Resume)
     assert out.committed() and len(out) == 20
+
+
+def test_resume_shards_invalidated_by_changed_sampling(sc, ingested):
+    """Shards from a Range(0,32) run must not be reused by a Range(8,40)
+    run even though chunk starts/counts coincide."""
+    import scannertools_tpu as st
+
+    calls = {"n": 0, "fail_at": 2}
+
+    @st.register_python_op(name="FlakyMark2", outputs=("array_i32",))
+    def flaky_mark2(ctx, hists):
+        calls["n"] += 1
+        if calls["n"] == calls["fail_at"]:
+            raise RuntimeError("boom")
+        return [np.asarray(h, np.int32) for h in hists]
+
+    frame = sc.io.Input([ingested])
+    out = st.NamedStream(sc, "resume_sig")
+    pp = st.PerfParams.manual(work_packet_size=16)
+
+    def graph(lo, hi):
+        g = sc.streams.Range(frame, [(lo, hi)])
+        return sc.io.Output(
+            sc.ops.FlakyMark2(hists=sc.ops.Histogram(frame=g)), [out])
+
+    with pytest.raises(RuntimeError):
+        sc.run(graph(0, 32), pp, cache_mode=st.CacheMode.Resume)
+
+    # different sampling, same chunk layout: must recompute all chunks
+    calls["fail_at"] = -1
+    before = calls["n"]
+    sc.run(graph(8, 40), pp, cache_mode=st.CacheMode.Resume)
+    assert calls["n"] - before == 2  # both chunks, no foreign-shard reuse
+    assert out.committed() and len(out) == 32
