@@ -206,3 +206,33 @@ def test_params_npz_roundtrip(tmp_path):
     flat1, flat2 = W._flatten(v), W._flatten(v2)
     assert set(flat1) == set(flat2)
     assert all(np.array_equal(flat1[k], flat2[k]) for k in flat1)
+
+
+def test_ops_load_weights_from_npz(sc, ingested, tmp_path):
+    """weights_path on detector ops loads npz params (the deployment path
+    for ported checkpoints)."""
+    import jax
+
+    import scannertools_tpu as st
+    from scannertools_tpu.models import mtcnn, weights as W
+    from scannertools_tpu.ops import faces as faces_ops
+
+    params = mtcnn.init_params(jax.random.PRNGKey(42))
+    p = str(tmp_path / "mtcnn.npz")
+    W.save_params(p, params)
+
+    frame = sc.io.Input([ingested])
+    g = sc.streams.Gather(frame, [[0]])
+    det = sc.ops.MTCNNDetectFaces(frame=g, weights_path=p)
+    out = st.NamedStream(sc, "weighted_faces")
+    sc.run(sc.io.Output(det, [out]), st.PerfParams.manual(work_packet_size=1),
+           cache_mode=st.CacheMode.Overwrite)
+    assert len(out) == 1  # ran with the loaded params
+    # loaded params are cached under the path key
+    assert ("mtcnn", p) in faces_ops._MODEL_CACHE
+    loaded = faces_ops._MODEL_CACHE[("mtcnn", p)]
+    flat_a = W._flatten(params)
+    flat_b = W._flatten(loaded)
+    import numpy as np
+
+    assert all(np.allclose(flat_a[k], flat_b[k]) for k in flat_a)
