@@ -34,13 +34,16 @@ def main(path: str, mtcnn_weights=None, facenet_weights=None) -> None:
     sc.run(sc.io.Output(genders, [out_g]), pp,
            cache_mode=st.CacheMode.Overwrite)
 
+    total = 0
     for i, (fl, el, gl) in enumerate(zip(out_f.load(), out_e.load(),
                                          out_g.load())):
+        total += len(fl)
         for b, g in zip(fl, gl):
             print(f"frame {i * 30}: face ({b.x1:.2f},{b.y1:.2f})-"
                   f"({b.x2:.2f},{b.y2:.2f}) score={b.score:.2f} gender={g}")
         if len(fl):
             print(f"  embeddings: {el.shape}")
+    print(f"{total} faces across {i + 1} sampled frames")
 
 
 if __name__ == "__main__":
