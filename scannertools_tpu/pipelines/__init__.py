@@ -1,5 +1,8 @@
 """Legacy-style pipeline classes + one-call runners (reference old/ layer)."""
 
+from .blocks import (Block, BlockGraph, FaceDetectBlock, FrameSourceBlock,
+                     GatherBlock, HistogramBlock, OpticalFlowBlock,
+                     ShotBoundariesBlock)
 from .prelude import Pipeline
 from .std import (BrightnessPipeline, ContrastPipeline, FaceDetectionPipeline,
                   FaceEmbeddingPipeline, FlowHistogramPipeline,

@@ -66,3 +66,35 @@ def test_hsv_histogram_runner(sc, ingested):
     outs = compute_hsv_histograms(sc, videos=[ingested], frames=[[0, 1]])
     got = list(outs[0].load())
     assert len(got) == 2 and len(got[0]) == 3
+
+
+def test_block_graph_api(sc, ingested, test_video):
+    """Block/BlockGraph wiring (reference old/pipeline.py:12-211): blocks
+    resolve inputs by output name, toposort themselves, run through sinks."""
+    import pytest
+
+    import scannertools_tpu as st
+    from scannertools_tpu.pipelines import (Block, BlockGraph,
+                                            FrameSourceBlock, HistogramBlock,
+                                            ShotBoundariesBlock)
+
+    g = BlockGraph(sc)
+    g.add(ShotBoundariesBlock())  # added out of order: toposort must fix
+    g.add(FrameSourceBlock(ingested))
+    g.add(HistogramBlock())
+    out = st.NamedStream(sc, "block_shots")
+    g.run(sinks={"boundaries": out},
+          perf_params=st.PerfParams.manual(work_packet_size=64))
+    assert next(out.load(rows=[0])) == test_video["cuts"]
+
+    # unsatisfiable inputs -> clear error
+    g2 = BlockGraph(sc)
+    g2.add(HistogramBlock())
+    with pytest.raises(ValueError, match="unsatisfiable"):
+        g2.wire()
+
+    # sink name that no block produced -> clear error
+    g3 = BlockGraph(sc)
+    g3.add(FrameSourceBlock(ingested))
+    with pytest.raises(KeyError, match="no block produced"):
+        g3.run(sinks={"nope": out})
