@@ -27,12 +27,19 @@ class ChunkRing:
         self.slot_bytes = slot_bytes
         self.nslots = nslots
         self._r = None
+        self._cancelled = False
         if self._lib is not None:
             self._r = self._lib.st_ring_create(slot_bytes, nslots)
 
     @property
     def native(self) -> bool:
         return self._r is not None
+
+    def cancel(self) -> None:
+        """Wake a producer blocked in acquire() (consumer is shutting down).
+        Must be called before close() while the decode thread may still be
+        running — close() frees the slot memory the producer writes into."""
+        self._cancelled = True
 
     def acquire(self, timeout: float = 900.0) -> np.ndarray:
         # generous timeout: the consumer may stall minutes on a first-chunk
@@ -42,6 +49,8 @@ class ChunkRing:
             return np.empty(self.slot_bytes, np.uint8)
         deadline = time.monotonic() + timeout
         while True:
+            if self._cancelled or self._r is None:
+                raise RuntimeError("ChunkRing cancelled/closed")
             ptr = self._lib.st_ring_acquire(self._r)
             if ptr:
                 return np.ctypeslib.as_array(

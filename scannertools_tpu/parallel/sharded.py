@@ -44,9 +44,29 @@ def pad_frames_to(n: int, multiple: int) -> int:
     return -(-n // multiple) * multiple
 
 
+def pad_rows_to_multiple(x, multiple: int):
+    """Pad axis 0 of every leaf (array or FrameChunk pytree) up to a multiple
+    of ``multiple`` by replicating the last row. device_put with NamedSharding
+    rejects non-divisible dims; executor slicing is front-anchored, so the
+    replicated tail is never read."""
+    import jax.numpy as jnp
+
+    def pad(leaf):
+        n = leaf.shape[0]
+        extra = pad_frames_to(n, multiple) - n
+        if extra == 0:
+            return leaf
+        xp = np if isinstance(leaf, np.ndarray) else jnp
+        return xp.concatenate(
+            [leaf, xp.repeat(leaf[-1:], extra, axis=0)], axis=0)
+
+    return jax.tree_util.tree_map(pad, x)
+
+
 def shard_value(mesh: Mesh, x):
     """device_put a chunk array / FrameChunk pytree with frames sharded.
-    Frame counts must already be padded to a multiple of the mesh size."""
+    Frame counts must already be padded to a multiple of the mesh size
+    (see pad_rows_to_multiple)."""
     def put(leaf):
         return jax.device_put(leaf, frame_sharding(mesh, leaf.ndim))
 

@@ -8,10 +8,12 @@ creating ``<db>/_claims/<run_key>/job_<i>.claim`` (O_CREAT|O_EXCL, the
 portable atomic primitive on posix and on most network filesystems'
 create-exclusive). Hosts race for unclaimed jobs, so a slow or dead host
 simply stops claiming and the others absorb its share — unlike the static
-``host_job_slice`` partition, stragglers don't strand work. Stale claims
-(holder died mid-job) can be reaped by ``reclaim_stale`` after a timeout;
-sinks stay idempotent (write-temp + atomic rename), so double execution
-after a reap is safe.
+``host_job_slice`` partition, stragglers don't strand work. The running
+executor refreshes its claim's mtime per chunk (``heartbeat``), so
+``reclaim_stale`` reaps on heartbeat age — only claims whose holder died
+mid-job, never long-but-alive jobs — and skips jobs whose sinks already
+committed. Sinks stay idempotent (unique-per-writer temp file + atomic
+rename, storage/packed_format.py), so double execution after a reap is safe.
 
 Select per run with ``PerfParams`` untouched — pass
 ``job_distribution="claims"`` to ``sc.run`` (default "static").
@@ -61,19 +63,47 @@ class WorkClaims:
         except OSError:
             pass
 
-    def reclaim_stale(self, older_than_sec: float) -> int:
-        """Remove claims older than the timeout whose jobs never committed
-        (call before a retry pass). Returns the number reaped."""
+    def clear(self) -> None:
+        """Drop every claim in this run's namespace (Overwrite semantics —
+        a fresh run must be able to re-claim committed jobs)."""
+        try:
+            for fn in os.listdir(self._dir):
+                try:
+                    os.unlink(os.path.join(self._dir, fn))
+                except OSError:
+                    pass
+        except OSError:
+            pass
+
+    def heartbeat(self, job: int) -> None:
+        """Refresh the claim's liveness stamp (mtime). The running executor
+        calls this per chunk, so reclaim_stale reaps on *heartbeat* age —
+        a long-but-alive job is never reaped, only a dead holder's."""
+        try:
+            os.utime(self._path(job))
+        except OSError:
+            pass
+
+    def reclaim_stale(self, older_than_sec: float,
+                      is_committed=None) -> int:
+        """Remove claims whose last heartbeat (file mtime) is older than the
+        timeout (call before a retry pass). Claims whose job already
+        committed — ``is_committed(job) is True`` — are left alone: the job
+        is done, re-running it would race a new writer against final data.
+        Returns the number reaped."""
         now = time.time()
         reaped = 0
         for fn in os.listdir(self._dir):
             p = os.path.join(self._dir, fn)
             try:
-                with open(p) as f:
-                    ts = float(f.read().split()[-1])
-                if now - ts > older_than_sec:
-                    os.unlink(p)
-                    reaped += 1
+                if now - os.stat(p).st_mtime <= older_than_sec:
+                    continue
+                if is_committed is not None and fn.startswith("job_"):
+                    job = int(fn[4:].split(".")[0])
+                    if is_committed(job):
+                        continue
+                os.unlink(p)
+                reaped += 1
             except (OSError, ValueError, IndexError):
                 continue
         return reaped

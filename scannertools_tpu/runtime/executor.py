@@ -156,6 +156,7 @@ class Executor:
         # "static"  — deterministic per-process slices (host_job_slice);
         # "claims"  — elastic storage-backed claims (parallel/workqueue.py).
         n_jobs = len(source.streams)
+        claims = None
         if job_distribution == "claims":
             from ..parallel.workqueue import WorkClaims
 
@@ -167,8 +168,13 @@ class Executor:
                               else [job_s])
                 )
             )
-            jobs = WorkClaims(self.client.config.db_path, run_key) \
-                .iter_jobs(n_jobs)
+            claims = WorkClaims(self.client.config.db_path, run_key)
+            if cache_mode == CacheMode.Overwrite:
+                # committed runs leave their claims in place (they mark the
+                # job done for Ignore/Resume); an explicit Overwrite must be
+                # able to re-claim, so clear this run's namespace first
+                claims.clear()
+            jobs = claims.iter_jobs(n_jobs)
         else:
             from ..parallel.sharded import host_job_slice
 
@@ -186,7 +192,9 @@ class Executor:
                     continue
             self._run_job(output, order, need, source, job, sink_streams,
                           perf, show_progress,
-                          resume=cache_mode == CacheMode.Resume)
+                          resume=cache_mode == CacheMode.Resume,
+                          heartbeat=(lambda j=job: claims.heartbeat(j))
+                          if claims is not None else None)
 
     def _job_sinks(self, output: OutputNode, job: int):
         s = output.streams[job]
@@ -194,8 +202,59 @@ class Executor:
             return list(s)
         return [s]
 
+    def _resume_signature(self, order, output, rows, W, in_stream) -> str:
+        """Content hash namespacing CacheMode.Resume shards. Covers the full
+        graph topology (per-node input edges by topo position), op params
+        (deterministically serialized — array params hashed by bytes, not
+        elided by repr), the sinked (node, column) list, the sampled row set
+        + chunk size, and the input stream identity (video path + size +
+        mtime), so no structurally different run can reuse foreign shards."""
+        import hashlib
+        import os as _os
+
+        pos = {n.id: i for i, n in enumerate(order)}
+
+        def ser(v) -> str:
+            if isinstance(v, np.ndarray):
+                return (f"ndarray({v.shape},{v.dtype},"
+                        f"{hashlib.sha256(v.tobytes()).hexdigest()})")
+            if isinstance(v, (list, tuple)):
+                return f"{type(v).__name__}[" + ",".join(ser(x) for x in v) + "]"
+            if isinstance(v, dict):
+                return "{" + ",".join(
+                    f"{k!r}:{ser(x)}" for k, x in sorted(v.items(), key=repr)
+                ) + "}"
+            return repr(v)
+
+        nodes_sig = []
+        for n in order:
+            edges = sorted(
+                (name, pos[e.node.id], e.index) for name, e in n.inputs.items()
+            )
+            params = ""
+            if isinstance(n, OpNode):
+                params = ser(n.params)
+            elif isinstance(n, SampleNode):
+                params = ser((n.mode, n.per_job))
+            nodes_sig.append((type(n).__name__, getattr(n, "name", ""),
+                              edges, params))
+        sinks_sig = sorted(
+            (pos[e.node.id], e.index) for e in output.columns
+        )
+        ident: List[Any] = [type(in_stream).__name__,
+                            getattr(in_stream, "name", None), len(in_stream)]
+        if getattr(in_stream, "is_video", False):
+            try:
+                p = in_stream.video_path()
+                st = _os.stat(p)
+                ident += [p, st.st_size, int(st.st_mtime)]
+            except (AttributeError, OSError):
+                pass
+        sig_src = repr((rows, W, nodes_sig, sinks_sig, ident))
+        return hashlib.sha256(sig_src.encode()).hexdigest()[:12]
+
     def _run_job(self, output, order, need, source, job, sink_streams, perf,
-                 show_progress, resume: bool = False):
+                 show_progress, resume: bool = False, heartbeat=None):
         in_stream = source.streams[job]
         stream_meta = {}
         if getattr(in_stream, "is_video", False):
@@ -217,12 +276,20 @@ class Executor:
         op_nodes = [n for n in order if isinstance(n, OpNode)]
         ws_nodes = [n for n in op_nodes if get_op(n.name).kind == "whole_stream"]
         ws_ids = {n.id for n in ws_nodes}
-        # sink columns: (edge, writer, deferred?)
+        # sink columns: (edge, writer, deferred?). Strict 1:1 — silently
+        # mapping excess columns onto the last sink would open two writers
+        # on the same stream (interleaved corruption).
+        if len(sink_streams) != len(output.columns):
+            raise ValueError(
+                f"job {job}: {len(output.columns)} output column(s) but "
+                f"{len(sink_streams)} sink stream(s); pass one sink per "
+                "column (per-job tuples for multi-column outputs)"
+            )
         writers = []
         for i, edge in enumerate(output.columns):
             tname = self._column_type(edge)
-            sink = sink_streams[min(i, len(sink_streams) - 1)]
-            writers.append((edge, sink.writer(tname), edge.node.id in ws_ids))
+            writers.append(
+                (edge, sink_streams[i].writer(tname), edge.node.id in ws_ids))
 
         # whole-stream accumulators: node.id -> list of per-chunk host inputs
         ws_acc: Dict[int, List[List[Any]]] = {
@@ -245,15 +312,9 @@ class Executor:
         )
         if shard_mode:
             # namespace shards by the run signature so a changed sampling /
-            # graph / chunk size can never resume from foreign shards
-            import hashlib
-
-            sig_src = repr((
-                rows, W,
-                sorted((n.name, sorted(n.params.items(), key=str))
-                       for n in op_nodes),
-            ))
-            sig = hashlib.sha256(sig_src.encode()).hexdigest()[:12]
+            # graph wiring / input video / sinked column / chunk size can
+            # never resume from foreign shards
+            sig = self._resume_signature(order, output, rows, W, in_stream)
             for _, w, _ in writers:
                 w.shard_key = sig
             done = None
@@ -362,6 +423,8 @@ class Executor:
                     # device_get in sink writes / host-op conversions above,
                     # so the staging slot can be recycled
                     ring.release()
+                if heartbeat is not None:
+                    heartbeat()
                 if show_progress:
                     print(f"  job {job}: rows {a + T}/{n_out}", flush=True)
 
@@ -402,6 +465,11 @@ class Executor:
                 writer.abort()
             raise
         finally:
+            # order matters: wake a producer blocked in ring.acquire, join the
+            # decode thread, and only then free ring slots / the decoder it
+            # may have been writing into
+            if ring is not None:
+                ring.cancel()
             prefetched.close()
             if ring is not None:
                 ring.close()
@@ -504,10 +572,17 @@ class Executor:
         if self._mesh is not None:
             # frames sharded over the data axis; GSPMD partitions the whole
             # segment and inserts halo collectives for stencil slices
-            from ..parallel.sharded import shard_value
+            from ..parallel.sharded import pad_rows_to_multiple, shard_value
             from ..utils.flags import current_mesh, sharded_mode
 
-            arrays = [shard_value(self._mesh, a) for a in arrays]
+            # device_put requires the sharded dim divisible by the mesh, but
+            # chunk lengths (tail chunks, stencil halos) rarely are — pad the
+            # frame axis by replicating the last row. The executor's slicing
+            # is all front-anchored, so padded tail rows are never read;
+            # uneven intermediate/output shapes inside jit are GSPMD's job.
+            m = int(self._mesh.devices.size)
+            arrays = [shard_value(self._mesh, pad_rows_to_multiple(a, m))
+                      for a in arrays]
             token = sharded_mode.set(True)
             token_m = current_mesh.set(self._mesh)
             try:
@@ -656,9 +731,17 @@ class _Prefetcher:
             yield item
 
     def close(self):
+        """Stop and JOIN the worker before the caller tears down resources
+        the worker writes into (decode ring slots, decoder handles) — without
+        the join, an error-path close() can free a slot mid-write
+        (use-after-free in st_io.cpp). The drain loop keeps the queue empty
+        so a worker blocked in q.put() can finish its final put and see the
+        stop flag."""
         self._stop.set()
-        try:
-            while True:
-                self._q.get_nowait()
-        except queue.Empty:
-            pass
+        while self._thread.is_alive():
+            try:
+                while True:
+                    self._q.get_nowait()
+            except queue.Empty:
+                pass
+            self._thread.join(timeout=0.05)

@@ -92,11 +92,20 @@ class PackedReader:
 
 class PackedAppender:
     """Streaming writer that buffers sizes and payload to a temp file, then
-    rewrites the header on commit (element count unknown up front)."""
+    rewrites the header on commit (element count unknown up front).
+
+    Temp paths are unique per writer (host + pid + object id): two hosts
+    racing on the same stream (e.g. after an over-eager stale-claim reap)
+    each write their own temp file and the atomic rename on commit makes
+    last-writer-wins instead of interleaved corruption."""
 
     def __init__(self, path: str):
+        import socket
+
         self.path = path
-        self._tmp = path + ".tmp.body"
+        uid = f"{socket.gethostname()}.{os.getpid()}.{id(self):x}"
+        self._tmp = f"{path}.tmp.{uid}.body"
+        self._tmp_hdr = f"{path}.tmp.{uid}"
         self._f = open(self._tmp, "wb")
         self._sizes: List[int] = []
 
@@ -106,7 +115,7 @@ class PackedAppender:
 
     def commit(self) -> None:
         self._f.close()
-        tmp = self.path + ".tmp"
+        tmp = self._tmp_hdr
         with open(tmp, "wb") as out:
             out.write(struct.pack("<Q", len(self._sizes)))
             for s in self._sizes:

@@ -51,7 +51,9 @@ _SCRIPT = textwrap.dedent("""
     frame = sc.io.Input([fv])
     hist = sc.ops.Histogram(frame=frame)
     out = st.NamedStream(sc, "h8")
-    # pipeline_instances_per_node=8 -> frame axis sharded over all 8 devices
+    # pipeline_instances_per_node=8 -> frame axis sharded over all 8 devices.
+    # W=16 over 24 rows leaves a ragged tail chunk (T=8... then W=9 below is
+    # truly ragged): exercise both the divisible and non-divisible paths.
     sc.run(sc.io.Output(hist, [out]),
            st.PerfParams.manual(work_packet_size=16,
                                 pipeline_instances_per_node=8),
@@ -60,8 +62,19 @@ _SCRIPT = textwrap.dedent("""
     want = histogram_reference_np(fv.frames)
     assert (got == want).all(), "sharded histogram mismatch"
 
+    # non-divisible chunk sizes: W=9 -> chunks of 9, 9, 6 over 8 devices
+    # (the round-1 crash class; executor pads to a mesh multiple internally)
+    out_r = st.NamedStream(sc, "h8_ragged")
+    sc.run(sc.io.Output(hist, [out_r]),
+           st.PerfParams.manual(work_packet_size=9,
+                                pipeline_instances_per_node=8),
+           cache_mode=st.CacheMode.Overwrite)
+    got_r = np.stack([np.stack(h) for h in out_r.load()])
+    assert (got_r == want).all(), "ragged-chunk sharded histogram mismatch"
+
     # stenciled op across shard boundaries: FrameDifference needs frame i-1
-    # which lives on the previous device for shard-edge rows
+    # which lives on the previous device for shard-edge rows. The 1-frame
+    # halo makes the decoded chunk 25 rows -> also non-divisible by 8.
     fd = sc.ops.FrameDifference(frames=frame)
     out2 = st.NamedStream(sc, "fd8")
     sc.run(sc.io.Output(fd, [out2]),
@@ -80,7 +93,16 @@ _SCRIPT = textwrap.dedent("""
 def test_sharded_pipeline_8_virtual_devices(tmp_path):
     env = dict(os.environ)
     # must be set before interpreter start: the axon sitecustomize hook
-    # initializes the TPU plugin otherwise
+    # initializes the TPU plugin otherwise. Scrubbing the axon plugin dir
+    # from PYTHONPATH is what actually frees the child to build the virtual
+    # CPU mesh in this sandbox (JAX_PLATFORMS alone is overridden by the
+    # sitecustomize).
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    parts = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+             if p and "axon" not in p]
+    if repo not in parts:
+        parts.insert(0, repo)
+    env["PYTHONPATH"] = os.pathsep.join(parts)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
                         + " --xla_force_host_platform_device_count=8")
