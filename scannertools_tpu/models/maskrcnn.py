@@ -1,27 +1,32 @@
 """Mask R-CNN — two-stage detector with mask head, TPU-native.
 
 Reference parity: ``MaskRCNNDetectObjects`` (maskrcnn_detection.py:27-462)
-wraps a maskrcnn-benchmark X-101-FPN checkpoint: transform (resize-800,
-BGR255, mean-subtract), forward, confidence filter 0.5, mask paste with ×4
+wraps a maskrcnn-benchmark checkpoint (X-101-32x8d-FPN by default,
+maskrcnn_detection.py:340-360): transform (resize-800, BGR255,
+mean-subtract), forward, confidence filter 0.5, mask paste with ×4
 downscale for storage. This module implements the architecture (He et al.
 2017: backbone+FPN, RPN, RoIAlign, box/mask heads) in flax with static
-shapes throughout:
+shapes throughout, **checkpoint-compatibly**:
 
-  * backbone: ResNet-50-style bottleneck stages (the reference's X-101 is
-    a width/cardinality variant of the same topology) + FPN P2..P6;
+  * backbone: real ResNet/ResNeXt bottleneck stages — R-50 = (3,4,6,3),
+    X-101-32x8d = (3,4,23,3) with 32 groups × width 8 — frozen BatchNorm
+    (maskrcnn-benchmark FrozenBatchNorm2d semantics: running stats applied,
+    never updated), caffe2-style stride-in-1x1; FPN P2..P6 (256 ch,
+    LastLevelMaxPool);
   * RPN: shared 3×3 head over all levels, 3 aspect anchors/cell; proposals
     are top-K score-selected then lax.scan NMS'd to a fixed count;
-  * RoIAlign: models/common.crop_and_resize on the FPN level chosen by the
-    canonical box-size heuristic (static: gather from a stacked pyramid);
+  * RoIAlign: models/common.crop_and_resize on P2 (static-shape variant of
+    the canonical level heuristic);
   * heads: 2-fc box head (81-way cls + class box deltas), 4-conv + deconv
     mask head producing 28×28 per-class masks.
 
-Pretrained torch weights port through models/weights.py.
+Every torch parameter of the maskrcnn-benchmark state_dict maps onto this
+tree via ``porting_maps.maskrcnn_mapping`` (totality-tested).
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import List, Tuple
 
 import numpy as np
 
@@ -39,57 +44,82 @@ MAX_DET = 32       # final detections per image
 MASK_RES = 28
 PIXEL_MEAN = (102.9801, 115.9465, 122.7717)  # BGR255 (reference transform)
 
+ARCHS = {
+    # name -> (blocks, groups, width_per_group)
+    "R-50-FPN": ((3, 4, 6, 3), 1, 64),
+    "R-101-FPN": ((3, 4, 23, 3), 1, 64),
+    "X-101-32x8d-FPN": ((3, 4, 23, 3), 32, 8),
+}
+
+
+def _frozen_bn(name: str):
+    """maskrcnn-benchmark FrozenBatchNorm2d: (x - mean) * rsqrt(var) * w + b
+    with running stats as constants (no eps, resnet.py FrozenBatchNorm2d)."""
+    return nn.BatchNorm(use_running_average=True, epsilon=0.0,
+                        momentum=0.0, name=name)
+
 
 class Bottleneck(nn.Module):
-    features: int
-    strides: Tuple[int, int] = (1, 1)
+    """1x1 -> 3x3(grouped) -> 1x1(x4-ish) with frozen BN; stride lives in
+    the 1x1 (caffe2 STRIDE_IN_1X1, the layout of the reference weights)."""
+
+    mid: int
+    out: int
+    stride: int = 1
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x):
         residual = x
-        y = nn.Conv(self.features, (1, 1), use_bias=False, name="c1")(x)
-        y = nn.relu(nn.GroupNorm(num_groups=32, name="n1")(y))
-        y = nn.Conv(self.features, (3, 3), self.strides, padding="SAME",
-                    use_bias=False, name="c2")(y)
-        y = nn.relu(nn.GroupNorm(num_groups=32, name="n2")(y))
-        y = nn.Conv(self.features * 4, (1, 1), use_bias=False, name="c3")(y)
-        y = nn.GroupNorm(num_groups=32, name="n3")(y)
-        if residual.shape[-1] != y.shape[-1] or self.strides != (1, 1):
-            residual = nn.Conv(self.features * 4, (1, 1), self.strides,
-                               use_bias=False, name="proj")(x)
-            residual = nn.GroupNorm(num_groups=32, name="projn")(residual)
+        s = (self.stride, self.stride)
+        y = nn.Conv(self.mid, (1, 1), s, use_bias=False, name="conv1")(x)
+        y = nn.relu(_frozen_bn("bn1")(y))
+        y = nn.Conv(self.mid, (3, 3), padding="SAME",
+                    feature_group_count=self.groups, use_bias=False,
+                    name="conv2")(y)
+        y = nn.relu(_frozen_bn("bn2")(y))
+        y = nn.Conv(self.out, (1, 1), use_bias=False, name="conv3")(y)
+        y = _frozen_bn("bn3")(y)
+        if residual.shape[-1] != self.out or self.stride != 1:
+            residual = nn.Conv(self.out, (1, 1), s, use_bias=False,
+                               name="downsample_conv")(x)
+            residual = _frozen_bn("downsample_bn")(residual)
         return nn.relu(y + residual)
 
 
 class BackboneFPN(nn.Module):
-    """ResNet-style C2..C5 + FPN P2..P6 (256 channels)."""
+    """ResNet/ResNeXt C2..C5 + FPN P2..P6 (256 channels)."""
 
-    blocks: Tuple[int, ...] = (2, 2, 2, 2)  # compact; resnet50 = (3,4,6,3)
+    blocks: Tuple[int, ...] = (3, 4, 6, 3)
+    groups: int = 1
+    width_per_group: int = 64
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(64, (7, 7), (2, 2), padding="SAME", use_bias=False,
-                    name="stem")(x)
-        x = nn.relu(nn.GroupNorm(num_groups=32, name="stemn")(x))
-        x = nn.max_pool(x, (3, 3), (2, 2), padding="SAME")
+        x = nn.Conv(64, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, name="stem_conv")(x)
+        x = nn.relu(_frozen_bn("stem_bn")(x))
+        x = nn.max_pool(x, (3, 3), (2, 2), padding=[(1, 1), (1, 1)])
         cs = []
-        feats = (64, 128, 256, 512)
-        for si, (f, nb) in enumerate(zip(feats, self.blocks)):
+        for si, nb in enumerate(self.blocks):
+            mid = self.groups * self.width_per_group * (2 ** si)
+            out = 256 * (2 ** si)
             for bi in range(nb):
-                stride = (2, 2) if (bi == 0 and si > 0) else (1, 1)
-                x = Bottleneck(f, stride, name=f"s{si}b{bi}")(x)
+                stride = 2 if (bi == 0 and si > 0) else 1
+                x = Bottleneck(mid, out, stride, self.groups,
+                               name=f"layer{si + 1}b{bi}")(x)
             cs.append(x)
-        # FPN top-down
-        ps = [None] * 4
-        lat = [nn.Conv(256, (1, 1), name=f"lat{i}")(c)
+        # FPN top-down (names match backbone.fpn.fpn_inner/fpn_layer 1..4)
+        ps: List = [None] * 4
+        lat = [nn.Conv(256, (1, 1), name=f"fpn_inner{i + 1}")(c)
                for i, c in enumerate(cs)]
         ps[3] = lat[3]
         for i in (2, 1, 0):
             up = jax.image.resize(ps[i + 1], lat[i].shape, "nearest")
             ps[i] = lat[i] + up
-        ps = [nn.Conv(256, (3, 3), padding="SAME", name=f"out{i}")(p)
+        ps = [nn.Conv(256, (3, 3), padding="SAME", name=f"fpn_layer{i + 1}")(p)
               for i, p in enumerate(ps)]
-        p6 = nn.max_pool(ps[3], (1, 1), (2, 2))
+        p6 = nn.max_pool(ps[3], (1, 1), (2, 2))  # LastLevelMaxPool
         return ps + [p6]  # P2..P6, strides 4,8,16,32,64
 
 
@@ -99,8 +129,8 @@ class RPNHead(nn.Module):
     @nn.compact
     def __call__(self, feat):
         t = nn.relu(nn.Conv(256, (3, 3), padding="SAME", name="conv")(feat))
-        logits = nn.Conv(self.n_anchors, (1, 1), name="cls")(t)
-        deltas = nn.Conv(self.n_anchors * 4, (1, 1), name="box")(t)
+        logits = nn.Conv(self.n_anchors, (1, 1), name="cls_logits")(t)
+        deltas = nn.Conv(self.n_anchors * 4, (1, 1), name="bbox_pred")(t)
         return logits, deltas
 
 
@@ -108,10 +138,10 @@ class BoxHead(nn.Module):
     @nn.compact
     def __call__(self, roi_feats):  # [R, 7, 7, 256]
         x = roi_feats.reshape(roi_feats.shape[0], -1)
-        x = nn.relu(nn.Dense(1024, name="fc1")(x))
-        x = nn.relu(nn.Dense(1024, name="fc2")(x))
-        cls = nn.Dense(NUM_CLASSES, name="cls")(x)
-        deltas = nn.Dense(NUM_CLASSES * 4, name="box")(x)
+        x = nn.relu(nn.Dense(1024, name="fc6")(x))
+        x = nn.relu(nn.Dense(1024, name="fc7")(x))
+        cls = nn.Dense(NUM_CLASSES, name="cls_score")(x)
+        deltas = nn.Dense(NUM_CLASSES * 4, name="bbox_pred")(x)
         return cls, deltas
 
 
@@ -121,15 +151,22 @@ class MaskHead(nn.Module):
         x = roi_feats
         for i in range(4):
             x = nn.relu(nn.Conv(256, (3, 3), padding="SAME",
-                                name=f"conv{i}")(x))
-        x = nn.relu(nn.ConvTranspose(256, (2, 2), (2, 2), name="deconv")(x))
-        return nn.Conv(NUM_CLASSES, (1, 1), name="logits")(x)  # [R,28,28,81]
+                                name=f"mask_fcn{i + 1}")(x))
+        x = nn.relu(nn.ConvTranspose(256, (2, 2), (2, 2),
+                                     name="conv5_mask")(x))
+        return nn.Conv(NUM_CLASSES, (1, 1),
+                       name="mask_fcn_logits")(x)  # [R,28,28,81]
 
 
 class MaskRCNN(nn.Module):
+    blocks: Tuple[int, ...] = (3, 4, 6, 3)
+    groups: int = 1
+    width_per_group: int = 64
+
     @nn.compact
     def __call__(self, images):  # [B, S, S, 3] mean-subtracted BGR255
-        fpn = BackboneFPN(name="backbone")(images)
+        fpn = BackboneFPN(self.blocks, self.groups, self.width_per_group,
+                          name="backbone")(images)
         rpn = RPNHead(name="rpn")
         rpn_out = [rpn(f) for f in fpn]
         return fpn, rpn_out
@@ -169,10 +206,12 @@ def _apply_deltas(boxes, deltas):
 class MaskRCNNModel:
     """Parameter container + jittable inference driver."""
 
-    def __init__(self, rng: jax.Array):
+    def __init__(self, rng: jax.Array, arch: str = "R-50-FPN"):
+        blocks, groups, wpg = ARCHS[arch]
+        self.arch = arch
         s = INPUT_SIZE
         dummy = jnp.zeros((1, s, s, 3))
-        self.trunk = MaskRCNN()
+        self.trunk = MaskRCNN(blocks, groups, wpg)
         tv = self.trunk.init(rng, dummy)
         self.box_head = BoxHead()
         self.mask_head = MaskHead()
@@ -248,6 +287,19 @@ class MaskRCNNModel:
             return fb, fs, fl, m
 
         return jax.vmap(per_image)(jnp.arange(images.shape[0]))
+
+
+def init_shapes(arch: str = "X-101-32x8d-FPN"):
+    """Shape-only variables tree (jax.eval_shape — no compute), for porting
+    map totality checks on the big architectures."""
+    blocks, groups, wpg = ARCHS[arch]
+    s = INPUT_SIZE
+    trunk = MaskRCNN(blocks, groups, wpg)
+    rng = jax.random.PRNGKey(0)
+    tv = jax.eval_shape(trunk.init, rng, jnp.zeros((1, s, s, 3)))
+    bv = jax.eval_shape(BoxHead().init, rng, jnp.zeros((1, 7, 7, 256)))
+    mv = jax.eval_shape(MaskHead().init, rng, jnp.zeros((1, 14, 14, 256)))
+    return {"trunk": tv, "box": bv, "mask": mv}
 
 
 def preprocess(frames_f32_rgb: jnp.ndarray) -> jnp.ndarray:

@@ -24,7 +24,7 @@ re-permuted with ``linear_after_conv``.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Mapping, Tuple
 
 import numpy as np
 
@@ -189,6 +189,202 @@ def port_facenet(variables: Dict, state_dict: Dict) -> Dict:
         else:
             mapping[f"params/{path}"] = (tk, kind)
     return W.port_state_dict(variables, state_dict, mapping)
+
+
+# ------------------------------------------------- SSD-MobileNetV1 (TF)
+
+def ssd_mapping() -> Dict[str, Tuple[str, str]]:
+    """flax path -> TF checkpoint variable name for
+    ``ssd_mobilenet_v1_coco_2017_11_17`` (the exact artifact the reference
+    loads, object_detection.py:38-44). Obtain the variables with
+    ``tf.train.load_checkpoint(model.ckpt).get_tensor(name)`` or by reading
+    the frozen graph's constants; keys here are the canonical
+    FeatureExtractor/BoxPredictor variable names."""
+    out: Dict[str, Tuple[str, str]] = {}
+    fx = "FeatureExtractor/MobilenetV1"
+
+    def convbn(flax_prefix, tf_prefix, depthwise=False):
+        wname = "depthwise_weights" if depthwise else "weights"
+        kind = "tf_depthwise" if depthwise else "tf_conv"
+        out[f"params/{flax_prefix}/kernel"] = (f"{tf_prefix}/{wname}", kind)
+        bn = flax_prefix.rsplit("/", 1)[0]
+        leaf = flax_prefix.rsplit("/", 1)[1]
+        bn_name = {"conv": "bn", "dw": "dw_bn", "pw": "pw_bn"}[leaf]
+        out[f"params/{bn}/{bn_name}/scale"] = (f"{tf_prefix}/BatchNorm/gamma",
+                                               "raw")
+        out[f"params/{bn}/{bn_name}/bias"] = (f"{tf_prefix}/BatchNorm/beta",
+                                              "raw")
+        out[f"batch_stats/{bn}/{bn_name}/mean"] = (
+            f"{tf_prefix}/BatchNorm/moving_mean", "raw")
+        out[f"batch_stats/{bn}/{bn_name}/var"] = (
+            f"{tf_prefix}/BatchNorm/moving_variance", "raw")
+
+    convbn("conv0/conv", f"{fx}/Conv2d_0")
+    for i in range(1, 14):
+        convbn(f"ds{i}/dw", f"{fx}/Conv2d_{i}_depthwise", depthwise=True)
+        convbn(f"ds{i}/pw", f"{fx}/Conv2d_{i}_pointwise")
+    extras = [(256, 512), (128, 256), (128, 256), (64, 128)]
+    for j, (mid, big) in enumerate(extras):
+        n = j + 2  # TF numbers the extra pairs 2..5
+        convbn(f"extra{j}_a/conv",
+               f"{fx}/Conv2d_13_pointwise_1_Conv2d_{n}_1x1_{mid}")
+        convbn(f"extra{j}_b/conv",
+               f"{fx}/Conv2d_13_pointwise_2_Conv2d_{n}_3x3_s2_{big}")
+    for k in range(6):
+        out[f"params/loc{k}/kernel"] = (
+            f"BoxPredictor_{k}/BoxEncodingPredictor/weights", "tf_conv")
+        out[f"params/loc{k}/bias"] = (
+            f"BoxPredictor_{k}/BoxEncodingPredictor/biases", "raw")
+        out[f"params/cls{k}/kernel"] = (
+            f"BoxPredictor_{k}/ClassPredictor/weights", "tf_conv")
+        out[f"params/cls{k}/bias"] = (
+            f"BoxPredictor_{k}/ClassPredictor/biases", "raw")
+    return out
+
+
+def port_ssd(variables: Dict, tf_vars: Mapping) -> Dict:
+    """variables: models.ssd.init_params output; tf_vars: {tf name: array}."""
+    return W.port_state_dict(variables, tf_vars, ssd_mapping())
+
+
+# -------------------------------------------- OpenPose body (caffemodel)
+
+def openpose_mapping(stages: int = 6) -> Dict[str, Tuple[str, str]]:
+    """flax path -> ``<caffe layer>.weight/.bias`` keys for the COCO
+    pose_deploy_linevec caffemodel the reference downloads
+    (openpose_kernel.cpp:35-78; layer names from the public prototxt).
+    Torch ports of this model (e.g. pytorch-openpose) keep these layer
+    names, so their state_dicts feed straight through; raw caffemodels can
+    be dumped to the same {layer.weight: OIHW array} dict with caffe or
+    protobuf parsing."""
+    out: Dict[str, Tuple[str, str]] = {}
+    vgg = ["conv1_1", "conv1_2", "conv2_1", "conv2_2", "conv3_1", "conv3_2",
+           "conv3_3", "conv3_4", "conv4_1", "conv4_2"]
+
+    def conv(flax_prefix, caffe_layer, bare=False):
+        base = flax_prefix if bare else f"{flax_prefix}/conv"
+        out[f"params/{base}/kernel"] = (f"{caffe_layer}.weight", "conv")
+        out[f"params/{base}/bias"] = (f"{caffe_layer}.bias", "raw")
+
+    for i, layer in enumerate(vgg):
+        conv(f"vgg{i}", layer)
+    conv("cpm0", "conv4_3_CPM")
+    conv("cpm1", "conv4_4_CPM")
+    for tag, L in (("L1", "L1"), ("L2", "L2")):
+        for j in range(3):
+            conv(f"s0_{tag}_{j}", f"conv5_{j + 1}_CPM_{L}")
+        conv(f"s0_{tag}_3", f"conv5_4_CPM_{L}")
+        conv(f"s0_{tag}_4", f"conv5_5_CPM_{L}", bare=True)
+        for s in range(1, stages):
+            st = s + 1  # caffe stages are 2..6
+            for j in range(5):
+                conv(f"s{s}_{tag}_{j}", f"Mconv{j + 1}_stage{st}_{L}")
+            conv(f"s{s}_{tag}_5", f"Mconv6_stage{st}_{L}")
+            conv(f"s{s}_{tag}_6", f"Mconv7_stage{st}_{L}", bare=True)
+    return out
+
+
+def port_openpose(params: Dict, state_dict: Mapping, stages: int = 6) -> Dict:
+    return W.port_state_dict(params, state_dict, openpose_mapping(stages))
+
+
+# --------------------------------------- Levi–Hassner gender (rude-carnie)
+
+def gender_mapping() -> Dict[str, Tuple[str, str]]:
+    """flax path -> rude-carnie TF checkpoint variable names
+    (model.py scopes conv1/conv2/conv3/full1/full2/output with
+    weights/biases). TF flattens conv activations NHWC — same order as
+    flax — so the first dense kernel ports raw."""
+    out: Dict[str, Tuple[str, str]] = {}
+    for f, t in (("conv1", "conv1"), ("conv2", "conv2"), ("conv3", "conv3")):
+        out[f"params/{f}/kernel"] = (f"{t}/weights", "tf_conv")
+        out[f"params/{f}/bias"] = (f"{t}/biases", "raw")
+    for f, t in (("fc1", "full1"), ("fc2", "full2"), ("fc3", "output")):
+        out[f"params/{f}/kernel"] = (f"{t}/weights", "raw")  # TF [I, O]
+        out[f"params/{f}/bias"] = (f"{t}/biases", "raw")
+    return out
+
+
+def port_gender(variables: Dict, tf_vars: Mapping) -> Dict:
+    return W.port_state_dict(variables, tf_vars, gender_mapping())
+
+
+# ------------------------------------------- Mask R-CNN (maskrcnn-benchmark)
+
+def maskrcnn_mapping(arch: str = "X-101-32x8d-FPN") -> Dict[str, Tuple[str, str]]:
+    """flax path (over the MaskRCNNModel ``variables`` dict:
+    trunk/box/mask roots) -> maskrcnn-benchmark state_dict key
+    (maskrcnn_detection.py:340-360's checkpoint; strip any leading
+    ``module.``). FrozenBatchNorm2d's four tensors land on our frozen
+    nn.BatchNorm params/batch_stats."""
+    from .maskrcnn import ARCHS
+
+    blocks, _, _ = ARCHS[arch]
+    out: Dict[str, Tuple[str, str]] = {}
+
+    def conv(flax_path, torch_key, kind="conv", bias=False):
+        out[f"{flax_path}/kernel"] = (f"{torch_key}.weight", kind)
+        if bias:
+            out[f"{flax_path}/bias"] = (f"{torch_key}.bias", "raw")
+
+    def bn(flax_prefix, torch_prefix):
+        out[f"trunk/params/backbone/{flax_prefix}/scale"] = (
+            f"{torch_prefix}.weight", "raw")
+        out[f"trunk/params/backbone/{flax_prefix}/bias"] = (
+            f"{torch_prefix}.bias", "raw")
+        out[f"trunk/batch_stats/backbone/{flax_prefix}/mean"] = (
+            f"{torch_prefix}.running_mean", "raw")
+        out[f"trunk/batch_stats/backbone/{flax_prefix}/var"] = (
+            f"{torch_prefix}.running_var", "raw")
+
+    conv("trunk/params/backbone/stem_conv", "backbone.body.stem.conv1")
+    bn("stem_bn", "backbone.body.stem.bn1")
+    for si, nb in enumerate(blocks):
+        for bi in range(nb):
+            f = f"layer{si + 1}b{bi}"
+            t = f"backbone.body.layer{si + 1}.{bi}"
+            for j in (1, 2, 3):
+                conv(f"trunk/params/backbone/{f}/conv{j}", f"{t}.conv{j}")
+                bn(f"{f}/bn{j}", f"{t}.bn{j}")
+            if bi == 0:
+                conv(f"trunk/params/backbone/{f}/downsample_conv",
+                     f"{t}.downsample.0")
+                bn(f"{f}/downsample_bn", f"{t}.downsample.1")
+    for i in range(1, 5):
+        conv(f"trunk/params/backbone/fpn_inner{i}",
+             f"backbone.fpn.fpn_inner{i}", bias=True)
+        conv(f"trunk/params/backbone/fpn_layer{i}",
+             f"backbone.fpn.fpn_layer{i}", bias=True)
+    conv("trunk/params/rpn/conv", "rpn.head.conv", bias=True)
+    conv("trunk/params/rpn/cls_logits", "rpn.head.cls_logits", bias=True)
+    conv("trunk/params/rpn/bbox_pred", "rpn.head.bbox_pred", bias=True)
+    # box head: fc6 consumes the CHW-flattened 7x7x256 RoI
+    out["box/params/fc6/kernel"] = (
+        "roi_heads.box.feature_extractor.fc6.weight", "linear_conv:256,7,7")
+    out["box/params/fc6/bias"] = (
+        "roi_heads.box.feature_extractor.fc6.bias", "raw")
+    for f, t in (("fc7", "roi_heads.box.feature_extractor.fc7"),
+                 ("cls_score", "roi_heads.box.predictor.cls_score"),
+                 ("bbox_pred", "roi_heads.box.predictor.bbox_pred")):
+        out[f"box/params/{f}/kernel"] = (f"{t}.weight", "linear")
+        out[f"box/params/{f}/bias"] = (f"{t}.bias", "raw")
+    for i in range(1, 5):
+        conv(f"mask/params/mask_fcn{i}",
+             f"roi_heads.mask.feature_extractor.mask_fcn{i}", bias=True)
+    conv("mask/params/conv5_mask", "roi_heads.mask.predictor.conv5_mask",
+         kind="conv_transpose", bias=True)
+    conv("mask/params/mask_fcn_logits",
+         "roi_heads.mask.predictor.mask_fcn_logits", bias=True)
+    return out
+
+
+def port_maskrcnn(variables: Dict, state_dict: Mapping,
+                  arch: str = "X-101-32x8d-FPN") -> Dict:
+    """variables: MaskRCNNModel(...).variables; state_dict: the benchmark
+    checkpoint's (``module.`` prefixes stripped)."""
+    sd = {k[len("module."):] if k.startswith("module.") else k: v
+          for k, v in state_dict.items()}
+    return _port_with_linear_conv(variables, sd, maskrcnn_mapping(arch))
 
 
 # -------------------------------------------------------------- helpers

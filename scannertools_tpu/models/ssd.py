@@ -93,9 +93,11 @@ class SSDMobileNetV1(nn.Module):
         n_anchors = [3, 6, 6, 6, 6, 6]
         locs, clss = [], []
         for k, (f, na) in enumerate(zip(feats, n_anchors)):
-            loc = nn.Conv(na * 4, (3, 3), padding="SAME",
-                          name=f"loc{k}")(f)
-            cls = nn.Conv(na * (self.num_classes + 1), (3, 3), padding="SAME",
+            # 1x1 predictor convs: ssd_mobilenet_v1_coco.config uses
+            # convolutional_box_predictor { kernel_size: 1 } — required for
+            # the reference checkpoint's BoxPredictor_* weights to drop in
+            loc = nn.Conv(na * 4, (1, 1), name=f"loc{k}")(f)
+            cls = nn.Conv(na * (self.num_classes + 1), (1, 1),
                           name=f"cls{k}")(f)
             b = f.shape[0]
             locs.append(loc.reshape(b, -1, 4))

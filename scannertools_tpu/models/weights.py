@@ -79,10 +79,29 @@ def from_torch_bn(weight, bias, running_mean, running_var):
     )
 
 
+def from_torch_conv_transpose(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d weight [I, O, kH, kW] -> flax [kH, kW, I, O]."""
+    return np.transpose(np.asarray(w), (2, 3, 0, 1))
+
+
+def from_tf_conv(w: np.ndarray) -> np.ndarray:
+    """TF conv weight [kH, kW, I, O] — already flax layout."""
+    return np.asarray(w)
+
+
+def from_tf_depthwise(w: np.ndarray) -> np.ndarray:
+    """TF depthwise [kH, kW, C, multiplier=1] -> flax grouped-conv
+    [kH, kW, 1, C]."""
+    return np.transpose(np.asarray(w), (0, 1, 3, 2))
+
+
 _KIND_FNS = {
     "conv": from_torch_conv,
+    "conv_transpose": from_torch_conv_transpose,
     "depthwise": from_torch_depthwise,
     "linear": from_torch_linear,
+    "tf_conv": from_tf_conv,
+    "tf_depthwise": from_tf_depthwise,
     "raw": np.asarray,
 }
 

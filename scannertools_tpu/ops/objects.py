@@ -26,18 +26,22 @@ from .faces import _get_params, _to_f32_frames, _MODEL_CACHE
 @register_op("MaskRCNNDetectObjects", kind="host", outputs=("object",))
 def maskrcnn_detect_objects(ctx, frame, weights_path: Optional[str] = None,
                             confidence_threshold: float = 0.5,
-                            mask_downscale: int = 4):
+                            mask_downscale: int = 4,
+                            arch: str = "R-50-FPN"):
     """Mask R-CNN detection + instance masks (maskrcnn_detection.py:27-330:
     confidence filter 0.5, masks stored downscaled ×4). Output per frame:
     list of dicts {bbox: BoundingBox (normalized), mask: [h/4scale, w/4scale]
-    f32} — masks are pasted into (frame/mask_downscale)-sized canvases."""
+    f32} — masks are pasted into (frame/mask_downscale)-sized canvases.
+    ``arch``: any models.maskrcnn.ARCHS key; the reference checkpoint is
+    "X-101-32x8d-FPN" (maskrcnn_detection.py:340) — pass that with a
+    weights_path ported via porting_maps.port_maskrcnn."""
     import cv2
 
     from ..models import maskrcnn as mr
 
-    key = ("maskrcnn_model", weights_path)
+    key = ("maskrcnn_model", weights_path, arch)
     if key not in _MODEL_CACHE:
-        model = mr.MaskRCNNModel(jax.random.PRNGKey(0))
+        model = mr.MaskRCNNModel(jax.random.PRNGKey(0), arch=arch)
         if weights_path:
             model.variables = weights_lib.load_params(weights_path)
         _MODEL_CACHE[key] = model
