@@ -108,7 +108,14 @@ class Executor:
 
     def _effective_rows(self, order: List[Node], source: InputNode, job: int,
                         n_rows: int) -> List[int]:
-        samples = [n for n in order if isinstance(n, SampleNode)]
+        def root_of(s: Node) -> Node:
+            n = s
+            while isinstance(n, SampleNode):
+                n = n.inputs["input"].node
+            return n
+
+        samples = [n for n in order if isinstance(n, SampleNode)
+                   and root_of(n) is source]
         # chained samplers compose (Range of a Stride etc.); *parallel*
         # branches sampling the same source differently would need
         # per-branch row domains — reject rather than silently compose
@@ -137,9 +144,16 @@ class Executor:
         perf = perf_params or PerfParams.estimate()
         order = toposort(output)
         sources = [n for n in order if isinstance(n, InputNode)]
-        if len(sources) != 1:
-            raise NotImplementedError("exactly one Input per graph in v1")
-        source = sources[0]
+        if not sources:
+            raise ValueError("graph has no Input")
+        # multi-source graphs zip rows across inputs (reference: N-input
+        # jobs, e.g. audio + captions in old/test_audio.py:7-29); every
+        # input must carry the same number of per-job streams
+        if len({len(s.streams) for s in sources}) != 1:
+            raise ValueError(
+                "all Inputs must have the same number of job streams: "
+                + ", ".join(str(len(s.streams)) for s in sources)
+            )
         need = self._intervals(order)
 
         # Multi-chip: shard the frame axis of device segments over the local
@@ -155,7 +169,7 @@ class Executor:
         # Multi-host job distribution (reference master/worker analog):
         # "static"  — deterministic per-process slices (host_job_slice);
         # "claims"  — elastic storage-backed claims (parallel/workqueue.py).
-        n_jobs = len(source.streams)
+        n_jobs = len(sources[0].streams)
         claims = None
         if job_distribution == "claims":
             from ..parallel.workqueue import WorkClaims
@@ -190,7 +204,7 @@ class Executor:
                     )
                 if cache_mode in (CacheMode.Ignore, CacheMode.Resume):
                     continue
-            self._run_job(output, order, need, source, job, sink_streams,
+            self._run_job(output, order, need, sources, job, sink_streams,
                           perf, show_progress,
                           resume=cache_mode == CacheMode.Resume,
                           heartbeat=(lambda j=job: claims.heartbeat(j))
@@ -202,7 +216,8 @@ class Executor:
             return list(s)
         return [s]
 
-    def _resume_signature(self, order, output, rows, W, in_stream) -> str:
+    def _resume_signature(self, order, output, rows_per, W,
+                          in_streams) -> str:
         """Content hash namespacing CacheMode.Resume shards. Covers the full
         graph topology (per-node input edges by topo position), op params
         (deterministically serialized — array params hashed by bytes, not
@@ -241,25 +256,32 @@ class Executor:
         sinks_sig = sorted(
             (pos[e.node.id], e.index) for e in output.columns
         )
-        ident: List[Any] = [type(in_stream).__name__,
-                            getattr(in_stream, "name", None), len(in_stream)]
-        if getattr(in_stream, "is_video", False):
-            try:
-                p = in_stream.video_path()
-                st = _os.stat(p)
-                ident += [p, st.st_size, int(st.st_mtime)]
-            except (AttributeError, OSError):
-                pass
-        sig_src = repr((rows, W, nodes_sig, sinks_sig, ident))
+        idents: List[Any] = []
+        for in_stream in in_streams:
+            ident: List[Any] = [type(in_stream).__name__,
+                                getattr(in_stream, "name", None),
+                                len(in_stream)]
+            if getattr(in_stream, "is_video", False):
+                try:
+                    p = in_stream.video_path()
+                    st = _os.stat(p)
+                    ident += [p, st.st_size, int(st.st_mtime)]
+                except (AttributeError, OSError):
+                    pass
+            idents.append(ident)
+        sig_src = repr((rows_per, W, nodes_sig, sinks_sig, idents))
         return hashlib.sha256(sig_src.encode()).hexdigest()[:12]
 
-    def _run_job(self, output, order, need, source, job, sink_streams, perf,
+    def _run_job(self, output, order, need, sources, job, sink_streams, perf,
                  show_progress, resume: bool = False, heartbeat=None):
-        in_stream = source.streams[job]
+        in_streams = [s.streams[job] for s in sources]
         stream_meta = {}
-        if getattr(in_stream, "is_video", False):
-            m = in_stream.metadata()
-            stream_meta = {"fps": m.fps, "width": m.width, "height": m.height}
+        for ins in in_streams:
+            if getattr(ins, "is_video", False):
+                m = ins.metadata()
+                stream_meta = {"fps": m.fps, "width": m.width,
+                               "height": m.height}
+                break
         ctx = OpContext(
             job=job,
             stream_meta=stream_meta,
@@ -267,10 +289,17 @@ class Executor:
             profiler=self.profiler,
         )
 
-        rows = self._effective_rows(order, source, job, len(in_stream))
-        n_out = len(rows)
+        # rows are zipped across inputs (reference N-input jobs): every
+        # source must sample down to the same element count
+        rows_per = [self._effective_rows(order, src, job, len(ins))
+                    for src, ins in zip(sources, in_streams)]
+        n_out = len(rows_per[0])
+        if any(len(r) != n_out for r in rows_per):
+            raise ValueError(
+                "multi-input graphs zip rows 1:1; effective row counts "
+                f"differ per input: {[len(r) for r in rows_per]}"
+            )
         W = perf.work_packet_size
-        src_lo, src_hi = need[source.id]
 
         # Column plumbing -------------------------------------------------
         op_nodes = [n for n in order if isinstance(n, OpNode)]
@@ -314,7 +343,8 @@ class Executor:
             # namespace shards by the run signature so a changed sampling /
             # graph wiring / input video / sinked column / chunk size can
             # never resume from foreign shards
-            sig = self._resume_signature(order, output, rows, W, in_stream)
+            sig = self._resume_signature(order, output, rows_per, W,
+                                         in_streams)
             for _, w, _ in writers:
                 w.shard_key = sig
             done = None
@@ -333,82 +363,107 @@ class Executor:
         elif resume:
             shard_mode = False
 
-        decoder = in_stream.decoder() if getattr(in_stream, "is_video", False) else None
-
         # io_packet_size expresses how far ahead the host may read
         # (reference io packets); realized here as prefetch depth in chunks.
         # The staging ring needs depth+2 slots: `depth` queued + 1 parked in
         # the queue handoff + 1 being decoded.
         depth = max(perf.prefetch_depth,
                     perf.io_packet_size // max(perf.work_packet_size, 1))
-        ring = None
-        if decoder is not None and stream_meta:
-            from ..io.prefetch import ChunkRing
 
-            frame_bytes = stream_meta["height"] * stream_meta["width"] * 3
-            max_frames = W + (src_hi - src_lo)
-            ring = ChunkRing(max_frames * frame_bytes, depth + 2)
+        # Per-source decode state (multi-source graphs zip N inputs):
+        # decoder + staging ring per video input, prefetch-upload decision
+        # per input's own consumer set.
+        decoders: List[Any] = []
+        rings: List[Any] = []
+        uploads: List[bool] = []
+        metas: List[Dict[str, Any]] = []
+        for src, ins in zip(sources, in_streams):
+            decoder = ins.decoder() if getattr(ins, "is_video", False) else None
+            meta = {}
+            if decoder is not None:
+                m = ins.metadata()
+                meta = {"fps": m.fps, "width": m.width, "height": m.height}
+            ring = None
+            if decoder is not None and meta:
+                from ..io.prefetch import ChunkRing
 
-        # Double-buffered host->HBM: when every frame consumer is a device
-        # op, the prefetch thread uploads the chunk right after decode, so
-        # transfer overlaps the previous chunk's compute (the north-star
-        # async-transfer pipeline). Mixed host/device consumers keep frames
-        # on the host to avoid a wasteful round trip.
-        frame_node_ids = {source.id} | {
-            n.id for n in order if isinstance(n, SampleNode)
-        }
-        consumers = [
-            n for n in order if isinstance(n, OpNode)
-            and any(e.node.id in frame_node_ids for e in n.inputs.values())
-        ]
-        prefetch_upload = bool(consumers) and all(
-            get_op(n.name).kind == "device" for n in consumers
-        ) and decoder is not None
+                s_lo, s_hi = need[src.id]
+                frame_bytes = meta["height"] * meta["width"] * 3
+                ring = ChunkRing((W + (s_hi - s_lo)) * frame_bytes, depth + 2)
+
+            # Double-buffered host->HBM: when every consumer of this input's
+            # frames is a device op, the prefetch thread uploads right after
+            # decode, overlapping the previous chunk's compute. Mixed
+            # host/device consumers keep frames on the host.
+            def _root(n):
+                while isinstance(n, SampleNode):
+                    n = n.inputs["input"].node
+                return n
+
+            frame_node_ids = {src.id} | {
+                n.id for n in order
+                if isinstance(n, SampleNode) and _root(n) is src
+            }
+            consumers = [
+                n for n in order if isinstance(n, OpNode)
+                and any(e.node.id in frame_node_ids for e in n.inputs.values())
+            ]
+            uploads.append(bool(consumers) and all(
+                get_op(n.name).kind == "device" for n in consumers
+            ) and decoder is not None)
+            decoders.append(decoder)
+            rings.append(ring)
+            metas.append(meta)
 
         def decode_chunk(a: int):
             b = min(a + W, n_out) - 1
             T = b - a + 1
-            positions = [
-                _clamp(p, 0, n_out - 1) for p in range(a + src_lo, b + src_hi + 1)
-            ]
-            src_rows = [rows[p] for p in positions]
-            out_buf = None
-            if decoder is not None and ring is not None:
-                # slot waits (consumer busy, e.g. compiling) are not decode
-                # time — keep them out of source:read for honest profiles
-                with self.profiler.span("source:wait_slot"):
-                    slot = ring.acquire()
-                h, w = stream_meta["height"], stream_meta["width"]
-                out_buf = slot[: len(src_rows) * h * w * 3].reshape(
-                    len(src_rows), h, w, 3
-                )
-            with self.profiler.span("source:read"):
-                if decoder is not None:
-                    frames = decoder.read_frames(src_rows, out=out_buf)
-                    if ring is not None:
-                        ring.commit()
-                    data = FrameChunk.from_hwc(frames)
-                    if prefetch_upload:
-                        with self.profiler.span("source:upload"):
-                            data = data.device()
-                            jax.block_until_ready(data.flat)
-                    val = _Value(data, src_lo, src_hi,
-                                 is_device=prefetch_upload)
-                else:
-                    elems = list(in_stream.load_bytes(src_rows))
-                    parse = typeslib.get_type(in_stream.type_name()).parse
-                    val = _Value([parse(e) for e in elems], src_lo, src_hi, False)
-            return a, T, val
+            vals: Dict[Tuple[int, int], _Value] = {}
+            for si, (src, ins) in enumerate(zip(sources, in_streams)):
+                s_lo, s_hi = need[src.id]
+                rows = rows_per[si]
+                positions = [
+                    _clamp(p, 0, n_out - 1)
+                    for p in range(a + s_lo, b + s_hi + 1)
+                ]
+                src_rows = [rows[p] for p in positions]
+                decoder, ring, meta = decoders[si], rings[si], metas[si]
+                out_buf = None
+                if decoder is not None and ring is not None:
+                    # slot waits (consumer busy, e.g. compiling) are not
+                    # decode time — keep out of source:read
+                    with self.profiler.span("source:wait_slot"):
+                        slot = ring.acquire()
+                    h, w = meta["height"], meta["width"]
+                    out_buf = slot[: len(src_rows) * h * w * 3].reshape(
+                        len(src_rows), h, w, 3
+                    )
+                with self.profiler.span("source:read"):
+                    if decoder is not None:
+                        frames = decoder.read_frames(src_rows, out=out_buf)
+                        if ring is not None:
+                            ring.commit()
+                        data = FrameChunk.from_hwc(frames)
+                        if uploads[si]:
+                            with self.profiler.span("source:upload"):
+                                data = data.device()
+                                jax.block_until_ready(data.flat)
+                        vals[(src.id, 0)] = _Value(data, s_lo, s_hi,
+                                                   is_device=uploads[si])
+                    else:
+                        elems = list(ins.load_bytes(src_rows))
+                        parse = typeslib.get_type(ins.type_name()).parse
+                        vals[(src.id, 0)] = _Value(
+                            [parse(e) for e in elems], s_lo, s_hi, False)
+            return a, T, vals
 
         prefetched = _Prefetcher(decode_chunk, chunks, depth=depth)
 
         last_chunk = [-1, 0]
         try:
-            for a, T, src_val in prefetched:
+            for a, T, src_vals in prefetched:
                 last_chunk[:] = (a, T)
-                values: Dict[Tuple[int, int], _Value] = {
-                    (source.id, 0): src_val
-                }
+                values: Dict[Tuple[int, int], _Value] = dict(src_vals)
                 self._run_chunk(order, need, values, ctx, T, jit_cache, state,
                                 ws_acc, ws_ids)
                 # write non-deferred sink columns
@@ -418,11 +473,12 @@ class Executor:
                     val = values[(edge.node.id, edge.index)]
                     self._write_column(writer, edge, val, T,
                                        shard_start=a if shard_mode else None)
-                if ring is not None:
+                for ring in rings:
                     # all device work for this chunk is synced by the
                     # device_get in sink writes / host-op conversions above,
-                    # so the staging slot can be recycled
-                    ring.release()
+                    # so the staging slots can be recycled
+                    if ring is not None:
+                        ring.release()
                 if heartbeat is not None:
                     heartbeat()
                 if show_progress:
@@ -466,15 +522,18 @@ class Executor:
             raise
         finally:
             # order matters: wake a producer blocked in ring.acquire, join the
-            # decode thread, and only then free ring slots / the decoder it
+            # decode thread, and only then free ring slots / the decoders it
             # may have been writing into
-            if ring is not None:
-                ring.cancel()
+            for ring in rings:
+                if ring is not None:
+                    ring.cancel()
             prefetched.close()
-            if ring is not None:
-                ring.close()
-            if decoder is not None:
-                decoder.close()
+            for ring in rings:
+                if ring is not None:
+                    ring.close()
+            for decoder in decoders:
+                if decoder is not None:
+                    decoder.close()
             ctx.close()
 
     # ----------------------------------------------------------- chunk exec
