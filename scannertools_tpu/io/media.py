@@ -2,8 +2,9 @@
 
 Reference parity: old/video.py:5-178 — ``Video`` (hwang-backed metadata,
 ``frame(number|time)``, ``frames``, ``montage``) and ``Audio`` (path +
-ffmpeg extract). Decode here is OpenCV-based (io/video.py); ``extract``
-needs an ffmpeg binary, absent in this image, so it is gated.
+ffmpeg extract). Frame decode goes through io/video.py's backend dispatch
+(native libav or cv2); ``Audio.extract`` uses the in-process libav module
+instead of the reference's ffmpeg subprocess.
 """
 
 from __future__ import annotations
@@ -26,10 +27,30 @@ class Audio:
         return self._path
 
     def extract(self, path=None, ext=".wav", segment=None):
-        raise NotImplementedError(
-            "Audio.extract requires an ffmpeg binary, which this image "
-            "lacks; decode WAV directly via storage.AudioStream instead"
-        )
+        """Extract (a segment of) the audio track to ``path``.
+
+        Reference parity: old/video.py's ffmpeg-subprocess extract; here the
+        native libav module decodes + re-encodes in-process (io/av.py).
+        ``segment`` is an (start_sec, end_sec) pair.
+        """
+        from . import av
+
+        if not av.available():
+            raise NotImplementedError(
+                "Audio.extract needs the native libav module (st_av), "
+                "which failed to build in this environment")
+        samples, rate = av.decode_audio(self._path)
+        if segment is not None:
+            s, e = segment
+            samples = samples[int(s * rate):int(e * rate)]
+        if path is None:
+            import tempfile
+
+            path = tempfile.mktemp(suffix=ext)
+        elif ext and not path.endswith(ext):
+            path = path + ext
+        av.encode_audio(path, samples, rate)
+        return Audio(path)
 
 
 class Video:

@@ -2,12 +2,24 @@
 
 Reference parity: the Scanner engine's decode thread + hwang indexed decode
 (SURVEY §1 L0; old/video.py:39-46). TPU-native design: decode happens on the
-host (OpenCV/ffmpeg backend), producing fixed-shape RGB uint8 chunk arrays
-``[T, H, W, 3]`` that the prefetcher moves to HBM with double buffering.
+host, producing fixed-shape RGB uint8 chunk arrays ``[T, H, W, 3]`` that the
+prefetcher moves to HBM with double buffering.
+
+Two backends behind one ``VideoDecoder`` interface:
+
+* **native** (default when buildable) — the C++ libav demuxer/decoder
+  (runtime/native/st_av.cpp via io/av.py). One GIL-releasing call decodes a
+  whole chunk straight into the staging-ring slot, so decode overlaps the
+  Python device-feed thread for real (cv2 holds the GIL around per-frame
+  grab/retrieve).
+* **cv2** — the OpenCV fallback, kept for environments without libav dev
+  libraries and as the independent cross-check in tests.
+
+Select with ``SCANNERTOOLS_TPU_DECODER=native|cv2|auto`` (default auto).
 
 Seek plans: a sorted frame-index list is split into *runs* — maximal spans
-where sequential ``grab()`` beats a seek (the analog of hwang's keyframe-aware
-index reads). One seek per run, sequential decode within.
+where sequential decode beats a seek (the analog of hwang's keyframe-aware
+index reads). One seek per run, sequential decode within (both backends).
 """
 
 from __future__ import annotations
@@ -41,7 +53,26 @@ class VideoMetadata:
         return self.num_frames / self.fps if self.fps else 0.0
 
 
+def _backend() -> str:
+    import os
+
+    mode = os.environ.get("SCANNERTOOLS_TPU_DECODER", "auto")
+    if mode == "auto":
+        from . import av
+
+        return "native" if av.available() else "cv2"
+    return mode
+
+
 def probe(path: str) -> VideoMetadata:
+    if _backend() == "native":
+        from . import av
+
+        dec = av.NativeVideoDecoder(path)
+        try:
+            return dec.meta
+        finally:
+            dec.close()
     cap = cv2.VideoCapture(path)
     if not cap.isOpened():
         raise IOError(f"cannot open video: {path}")
@@ -67,7 +98,17 @@ def _runs(indices: Sequence[int]) -> List[List[int]]:
     return runs
 
 
-class VideoDecoder:
+def VideoDecoder(path: str):
+    """Decoder factory: native libav backend when available, else cv2.
+    Both expose ``.meta``, ``.read_frames(indices, out=)``, ``.close()``."""
+    if _backend() == "native":
+        from . import av
+
+        return av.NativeVideoDecoder(path)
+    return Cv2VideoDecoder(path)
+
+
+class Cv2VideoDecoder:
     """Stateful sequential decoder over one container, optimized for sorted
     index streams (the executor always requests ascending indices)."""
 

@@ -458,6 +458,9 @@ class Executor:
             return a, T, vals
 
         prefetched = _Prefetcher(decode_chunk, chunks, depth=depth)
+        # sink serialization + IO runs off the critical path: chunk N+1's
+        # decode/compute overlaps chunk N's writes (reference save workers)
+        sink_worker = _SinkWorker(depth=2 * max(1, len(writers)))
 
         last_chunk = [-1, 0]
         try:
@@ -466,13 +469,17 @@ class Executor:
                 values: Dict[Tuple[int, int], _Value] = dict(src_vals)
                 self._run_chunk(order, need, values, ctx, T, jit_cache, state,
                                 ws_acc, ws_ids)
-                # write non-deferred sink columns
+                # write non-deferred sink columns (async; the _to_host
+                # device_get inside stays synchronous — it is also what
+                # guarantees device work reading the staging slots is done
+                # before ring.release below)
                 for edge, writer, deferred in writers:
                     if deferred:
                         continue
                     val = values[(edge.node.id, edge.index)]
                     self._write_column(writer, edge, val, T,
-                                       shard_start=a if shard_mode else None)
+                                       shard_start=a if shard_mode else None,
+                                       sink_worker=sink_worker)
                 for ring in rings:
                     # all device work for this chunk is synced by the
                     # device_get in sink writes / host-op conversions above,
@@ -483,6 +490,9 @@ class Executor:
                     heartbeat()
                 if show_progress:
                     print(f"  job {job}: rows {a + T}/{n_out}", flush=True)
+
+            # all async writes must land before deferred writes / commit
+            sink_worker.flush()
 
             # end-of-stream: whole-stream ops then deferred sinks
             ws_out: Dict[Tuple[int, int], List[Any]] = {}
@@ -517,10 +527,12 @@ class Executor:
                 f"{last_chunk[0]}..{last_chunk[0] + last_chunk[1] - 1} "
                 f"of {n_out}"
             )
+            sink_worker.close()  # no write may race the aborts below
             for _, writer, _ in writers:
                 writer.abort()
             raise
         finally:
+            sink_worker.close()
             # order matters: wake a producer blocked in ring.acquire, join the
             # decode thread, and only then free ring slots / the decoders it
             # may have been writing into
@@ -726,24 +738,37 @@ class Executor:
         raise ValueError(f"cannot sink from {node}")
 
     def _write_column(self, writer, edge, val: _Value, T: int,
-                      shard_start=None):
+                      shard_start=None, sink_worker=None):
         data = val.slice_rows(0, 0, T)
+        was_host = not val.is_device
         if val.is_device or isinstance(data, FrameChunk):
             data = _to_host(data)
+        if was_host and isinstance(data, np.ndarray):
+            # host-path frame arrays (incl. host FrameChunks) can be views
+            # of recycled decode-ring slots; the async writer outlives the
+            # chunk, so detach (device_get results are already fresh)
+            data = data.copy()
         ser = typeslib.get_type(self._column_type(edge)).serialize
-        with self.profiler.span("sink:write"):
-            if isinstance(data, list):
-                elements = [b"" if el is None else
-                            el if isinstance(el, bytes) else ser(el)
-                            for el in data]
-            else:
-                elements = [ser(data[t]) for t in range(T)]
-            if shard_start is not None:
-                # durable per-chunk shard (CacheMode.Resume checkpointing)
-                writer.append_shard(shard_start, elements)
-            else:
-                for el in elements:
-                    writer.append(el)
+
+        def emit():
+            with self.profiler.span("sink:write"):
+                if isinstance(data, list):
+                    elements = [b"" if el is None else
+                                el if isinstance(el, bytes) else ser(el)
+                                for el in data]
+                else:
+                    elements = [ser(data[t]) for t in range(T)]
+                if shard_start is not None:
+                    # durable per-chunk shard (CacheMode.Resume checkpoints)
+                    writer.append_shard(shard_start, elements)
+                else:
+                    for el in elements:
+                        writer.append(el)
+
+        if sink_worker is not None:
+            sink_worker.submit(emit)
+        else:
+            emit()
 
 
 def _concat_host(parts: List[Any]):
@@ -755,6 +780,60 @@ def _concat_host(parts: List[Any]):
     for p in parts:
         out.extend(p)
     return out
+
+
+class _SinkWorker:
+    """Serialize + write sink elements off the chunk critical path.
+
+    Reference analog: the engine's save workers — sink IO runs on its own
+    thread so kernel threads never block on storage (SURVEY §1 L0). One FIFO
+    worker preserves per-writer append order; errors surface on the next
+    submit() or at flush() (before commit, so a failed write can never be
+    committed). The queue is bounded: a slow disk applies backpressure
+    instead of buffering the whole stream in memory.
+    """
+
+    def __init__(self, depth: int = 4):
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+        self._err: Optional[BaseException] = None
+        self._closed = False
+        self._thread = threading.Thread(target=self._work, daemon=True)
+        self._thread.start()
+
+    def _work(self):
+        while True:
+            task = self._q.get()
+            try:
+                if task is None:
+                    return
+                if self._err is None:  # after an error, drop (order broken)
+                    try:
+                        task()
+                    except BaseException as e:  # surface via submit/flush
+                        self._err = e
+            finally:
+                self._q.task_done()
+
+    def submit(self, task) -> None:
+        if self._err is not None:
+            raise self._err
+        self._q.put(task)
+
+    def flush(self) -> None:
+        """Drain all pending writes; raise any deferred error."""
+        self._q.join()
+        if self._err is not None:
+            raise self._err
+
+    def close(self) -> None:
+        """Idempotent; drains pending tasks then joins the worker. Callers
+        tearing down after an error must close() before writer.abort() so no
+        write races the abort."""
+        if self._closed:
+            return
+        self._closed = True
+        self._q.put(None)
+        self._thread.join()
 
 
 class _Prefetcher:

@@ -1,0 +1,463 @@
+// Native AV runtime: libavformat/libavcodec demux + decode for video frames
+// and audio samples, exposed as a plain C ABI for ctypes.
+//
+// Reference parity: the Scanner engine's decode worker (SURVEY §1 L0 — the
+// engine decodes video on dedicated threads with NVDEC/ffmpeg) and the C++
+// Audio source (audio_source.cpp:31-412 — libav decode of any audio codec
+// with sample-accurate frame assembly). TPU-native role: the host data
+// plane's decoder. A ctypes call into this library releases the GIL, so the
+// decode loop runs truly concurrent with the Python thread that drives the
+// device — cv2's per-frame Python round-trips (grab/retrieve/ndarray
+// slicing) disappear from the hot path and frames land directly in the
+// staging-ring slot that the prefetcher hands us (st_io.cpp ring).
+//
+// Video model mirrors io/video.py's VideoDecoder: ascending frame indices,
+// split into seek runs (sequential-decode gap <= SEEK_GAP beats a container
+// seek), one av_seek_frame per run, RGB24 into caller memory via swscale.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <new>
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libavutil/opt.h>
+#include <libswresample/swresample.h>
+#include <libswscale/swscale.h>
+}
+
+namespace {
+constexpr int64_t kSeekGap = 32;  // keep in sync with io/video.py _SEEK_GAP
+
+struct StAv {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* dec = nullptr;
+  SwsContext* sws = nullptr;
+  AVFrame* frame = nullptr;
+  AVPacket* pkt = nullptr;
+  int stream = -1;
+  int width = 0;
+  int height = 0;
+  double fps = 0.0;
+  int64_t nframes = -1;
+  int64_t start_pts = 0;       // first frame's pts (stream time_base)
+  AVRational tb{0, 1};
+  int64_t next_index = 0;      // index the next decoded frame would have
+  bool draining = false;
+  char err[256] = {0};
+};
+
+void set_err(StAv* h, const char* msg) {
+  std::snprintf(h->err, sizeof(h->err), "%s", msg);
+}
+
+// pts (stream time_base) -> frame index under constant-fps assumption.
+int64_t pts_to_index(const StAv* h, int64_t pts) {
+  double sec = (pts - h->start_pts) * av_q2d(h->tb);
+  return (int64_t)(sec * h->fps + 0.5);
+}
+
+int64_t index_to_pts(const StAv* h, int64_t index) {
+  double sec = index / h->fps;
+  return h->start_pts + (int64_t)(sec / av_q2d(h->tb) + 0.5);
+}
+
+// Pull the next decoded frame into h->frame. Returns 1 on frame, 0 on EOF,
+// <0 on error.
+int next_frame(StAv* h) {
+  while (true) {
+    int r = avcodec_receive_frame(h->dec, h->frame);
+    if (r == 0) return 1;
+    if (r == AVERROR_EOF) return 0;
+    if (r != AVERROR(EAGAIN)) return r;
+    if (h->draining) return 0;
+    // feed one more packet
+    while (true) {
+      r = av_read_frame(h->fmt, h->pkt);
+      if (r == AVERROR_EOF) {
+        h->draining = true;
+        avcodec_send_packet(h->dec, nullptr);
+        break;
+      }
+      if (r < 0) return r;
+      if (h->pkt->stream_index != h->stream) {
+        av_packet_unref(h->pkt);
+        continue;
+      }
+      r = avcodec_send_packet(h->dec, h->pkt);
+      av_packet_unref(h->pkt);
+      if (r < 0 && r != AVERROR(EAGAIN)) return r;
+      break;
+    }
+  }
+}
+}  // namespace
+
+extern "C" {
+
+void* st_av_open(const char* path) {
+  avformat_network_init();
+  auto* h = new (std::nothrow) StAv();
+  if (!h) return nullptr;
+  if (avformat_open_input(&h->fmt, path, nullptr, nullptr) < 0) {
+    delete h;
+    return nullptr;
+  }
+  if (avformat_find_stream_info(h->fmt, nullptr) < 0) {
+    avformat_close_input(&h->fmt);
+    delete h;
+    return nullptr;
+  }
+  const AVCodec* codec = nullptr;
+  h->stream = av_find_best_stream(h->fmt, AVMEDIA_TYPE_VIDEO, -1, -1,
+                                  &codec, 0);
+  if (h->stream < 0 || !codec) {
+    avformat_close_input(&h->fmt);
+    delete h;
+    return nullptr;
+  }
+  AVStream* st = h->fmt->streams[h->stream];
+  h->dec = avcodec_alloc_context3(codec);
+  avcodec_parameters_to_context(h->dec, st->codecpar);
+  // one decode thread: the host is small and the caller overlaps decode
+  // with device work already; frame-threading adds latency to seeks.
+  h->dec->thread_count = 1;
+  if (avcodec_open2(h->dec, codec, nullptr) < 0) {
+    avcodec_free_context(&h->dec);
+    avformat_close_input(&h->fmt);
+    delete h;
+    return nullptr;
+  }
+  h->width = h->dec->width;
+  h->height = h->dec->height;
+  h->tb = st->time_base;
+  AVRational fr = st->avg_frame_rate.num ? st->avg_frame_rate
+                                         : st->r_frame_rate;
+  h->fps = fr.den ? av_q2d(fr) : 30.0;
+  h->nframes = st->nb_frames;
+  if (h->nframes <= 0 && st->duration > 0)
+    h->nframes = (int64_t)(st->duration * av_q2d(h->tb) * h->fps + 0.5);
+  if (h->nframes <= 0 && h->fmt->duration > 0)
+    h->nframes =
+        (int64_t)((double)h->fmt->duration / AV_TIME_BASE * h->fps + 0.5);
+  h->start_pts = st->start_time == AV_NOPTS_VALUE ? 0 : st->start_time;
+  h->frame = av_frame_alloc();
+  h->pkt = av_packet_alloc();
+  h->next_index = 0;
+  return h;
+}
+
+int st_av_meta(void* p, int* w, int* hh, double* fps, int64_t* nframes) {
+  auto* h = static_cast<StAv*>(p);
+  *w = h->width;
+  *hh = h->height;
+  *fps = h->fps;
+  *nframes = h->nframes;
+  return 0;
+}
+
+const char* st_av_error(void* p) { return static_cast<StAv*>(p)->err; }
+
+// Decode ascending frame indices into out ([n, H, W, 3] RGB24 contiguous).
+// Returns number of frames written (== n on success; fewer => error/EOF).
+int64_t st_av_read(void* p, const int64_t* indices, int64_t n, uint8_t* out) {
+  auto* h = static_cast<StAv*>(p);
+  const size_t frame_bytes = (size_t)h->width * h->height * 3;
+  int64_t k = 0;
+  for (int64_t i = 0; i < n;) {
+    // run = indices[i..j): ascending, gaps <= kSeekGap
+    int64_t j = i + 1;
+    while (j < n && indices[j] > indices[j - 1] &&
+           indices[j] - indices[j - 1] <= kSeekGap)
+      ++j;
+    int64_t first = indices[i];
+    if (first < h->next_index || first - h->next_index > kSeekGap) {
+      int64_t target = index_to_pts(h, first);
+      if (av_seek_frame(h->fmt, h->stream, target, AVSEEK_FLAG_BACKWARD) < 0) {
+        // fall back: rewind to start
+        av_seek_frame(h->fmt, h->stream, h->start_pts,
+                      AVSEEK_FLAG_BACKWARD | AVSEEK_FLAG_BYTE);
+      }
+      avcodec_flush_buffers(h->dec);
+      h->draining = false;
+      h->next_index = -1;  // unknown until the next decoded frame tells us
+    }
+    int64_t last = indices[j - 1];
+    while (true) {
+      int r = next_frame(h);
+      if (r <= 0) {
+        set_err(h, r == 0 ? "eof before requested frame" : "decode error");
+        return k;
+      }
+      int64_t pts = h->frame->best_effort_timestamp;
+      int64_t idx = pts == AV_NOPTS_VALUE ? h->next_index
+                                          : pts_to_index(h, pts);
+      if (h->next_index < 0) h->next_index = idx;  // post-seek resync
+      // trust container pts when present; otherwise sequential counting
+      if (pts == AV_NOPTS_VALUE) idx = h->next_index;
+      h->next_index = idx + 1;
+      if (idx < indices[i]) {
+        av_frame_unref(h->frame);
+        continue;  // pre-roll from the keyframe
+      }
+      // emit this frame for every requested index it matches (handles
+      // requests that repeat or that pts rounding folds together)
+      while (i < j && indices[i] <= idx) {
+        if (indices[i] == idx) {
+          if (!h->sws) {
+            h->sws = sws_getContext(
+                h->width, h->height, (AVPixelFormat)h->frame->format,
+                h->width, h->height, AV_PIX_FMT_RGB24, SWS_BILINEAR,
+                nullptr, nullptr, nullptr);
+            if (!h->sws) {
+              set_err(h, "sws_getContext failed");
+              av_frame_unref(h->frame);
+              return k;
+            }
+          }
+          uint8_t* dst[1] = {out + k * frame_bytes};
+          int dst_stride[1] = {h->width * 3};
+          sws_scale(h->sws, h->frame->data, h->frame->linesize, 0,
+                    h->height, dst, dst_stride);
+          ++k;
+        }
+        ++i;
+      }
+      av_frame_unref(h->frame);
+      if (i >= j) break;
+      if (idx > last) {  // overshoot: pts gap — give up on the rest of run
+        set_err(h, "pts gap: requested frame not found");
+        return k;
+      }
+    }
+  }
+  return k;
+}
+
+void st_av_close(void* p) {
+  auto* h = static_cast<StAv*>(p);
+  if (h->sws) sws_freeContext(h->sws);
+  if (h->pkt) av_packet_free(&h->pkt);
+  if (h->frame) av_frame_free(&h->frame);
+  if (h->dec) avcodec_free_context(&h->dec);
+  if (h->fmt) avformat_close_input(&h->fmt);
+  delete h;
+}
+
+// ------------------------------------------------------------------ audio
+//
+// One-shot decode of the best audio stream to mono float32 at the native
+// sample rate (the contract of storage/audio.py's DECODER hook; multi-
+// channel downmix matches its WAV path: plain channel mean, via
+// swresample's default mixing matrix). Returns a malloc'd buffer the
+// caller frees with st_av_free.
+
+int64_t st_av_audio_decode(const char* path, float** out, int* rate) {
+  AVFormatContext* fmt = nullptr;
+  if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) return -1;
+  if (avformat_find_stream_info(fmt, nullptr) < 0) {
+    avformat_close_input(&fmt);
+    return -1;
+  }
+  const AVCodec* codec = nullptr;
+  int si = av_find_best_stream(fmt, AVMEDIA_TYPE_AUDIO, -1, -1, &codec, 0);
+  if (si < 0 || !codec) {
+    avformat_close_input(&fmt);
+    return -1;
+  }
+  AVStream* st = fmt->streams[si];
+  AVCodecContext* dec = avcodec_alloc_context3(codec);
+  avcodec_parameters_to_context(dec, st->codecpar);
+  if (avcodec_open2(dec, codec, nullptr) < 0) {
+    avcodec_free_context(&dec);
+    avformat_close_input(&fmt);
+    return -1;
+  }
+  *rate = dec->sample_rate;
+
+  SwrContext* swr = nullptr;
+  AVChannelLayout mono = AV_CHANNEL_LAYOUT_MONO;
+  if (swr_alloc_set_opts2(&swr, &mono, AV_SAMPLE_FMT_FLT, dec->sample_rate,
+                          &dec->ch_layout, dec->sample_fmt,
+                          dec->sample_rate, 0, nullptr) < 0 ||
+      swr_init(swr) < 0) {
+    if (swr) swr_free(&swr);
+    avcodec_free_context(&dec);
+    avformat_close_input(&fmt);
+    return -1;
+  }
+
+  int64_t cap = 1 << 20;
+  int64_t count = 0;
+  float* buf = (float*)std::malloc(cap * sizeof(float));
+  AVFrame* frame = av_frame_alloc();
+  AVPacket* pkt = av_packet_alloc();
+  bool draining = false;
+  int rc = 0;
+  while (true) {
+    int r = avcodec_receive_frame(dec, frame);
+    if (r == AVERROR_EOF) break;
+    if (r == AVERROR(EAGAIN)) {
+      if (draining) break;
+      r = av_read_frame(fmt, pkt);
+      if (r == AVERROR_EOF) {
+        draining = true;
+        avcodec_send_packet(dec, nullptr);
+        continue;
+      }
+      if (r < 0) { rc = -1; break; }
+      if (pkt->stream_index != si) {
+        av_packet_unref(pkt);
+        continue;
+      }
+      avcodec_send_packet(dec, pkt);
+      av_packet_unref(pkt);
+      continue;
+    }
+    if (r < 0) { rc = -1; break; }
+    // convert to mono f32 (possibly buffered inside swr)
+    int out_max = frame->nb_samples + 256;
+    if (count + out_max > cap) {
+      while (count + out_max > cap) cap *= 2;
+      buf = (float*)std::realloc(buf, cap * sizeof(float));
+    }
+    uint8_t* dst[1] = {(uint8_t*)(buf + count)};
+    int got = swr_convert(swr, dst, out_max,
+                          (const uint8_t**)frame->extended_data,
+                          frame->nb_samples);
+    if (got > 0) count += got;
+    av_frame_unref(frame);
+  }
+  // flush the resampler
+  if (rc == 0) {
+    if (count + 4096 > cap) {
+      cap += 8192;
+      buf = (float*)std::realloc(buf, cap * sizeof(float));
+    }
+    uint8_t* dst[1] = {(uint8_t*)(buf + count)};
+    int got = swr_convert(swr, dst, 4096, nullptr, 0);
+    if (got > 0) count += got;
+  }
+  av_packet_free(&pkt);
+  av_frame_free(&frame);
+  swr_free(&swr);
+  avcodec_free_context(&dec);
+  avformat_close_input(&fmt);
+  if (rc < 0) {
+    std::free(buf);
+    return -1;
+  }
+  *out = buf;
+  return count;
+}
+
+void st_av_free(void* p) { std::free(p); }
+
+// Encode mono float32 samples to a compressed audio file (codec inferred
+// from the container extension via libavformat defaults, e.g. .m4a -> aac,
+// .ogg -> vorbis). Used by tests to produce real compressed fixtures in a
+// no-egress environment, and by Audio.extract as the writer.
+int st_av_audio_encode(const char* path, const float* samples, int64_t n,
+                       int rate) {
+  AVFormatContext* fmt = nullptr;
+  if (avformat_alloc_output_context2(&fmt, nullptr, nullptr, path) < 0)
+    return -1;
+  const AVCodec* codec = avcodec_find_encoder(fmt->oformat->audio_codec);
+  if (!codec) {
+    avformat_free_context(fmt);
+    return -1;
+  }
+  AVCodecContext* enc = avcodec_alloc_context3(codec);
+  enc->sample_rate = rate;
+  AVChannelLayout mono_layout = AV_CHANNEL_LAYOUT_MONO;
+  av_channel_layout_copy(&enc->ch_layout, &mono_layout);
+  enc->sample_fmt = codec->sample_fmts ? codec->sample_fmts[0]
+                                       : AV_SAMPLE_FMT_FLTP;
+  enc->bit_rate = 128000;
+  enc->time_base = AVRational{1, rate};
+  if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
+    enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+  if (avcodec_open2(enc, codec, nullptr) < 0) {
+    avcodec_free_context(&enc);
+    avformat_free_context(fmt);
+    return -1;
+  }
+  AVStream* st = avformat_new_stream(fmt, nullptr);
+  avcodec_parameters_from_context(st->codecpar, enc);
+  st->time_base = enc->time_base;
+  if (!(fmt->oformat->flags & AVFMT_NOFILE) &&
+      avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0) {
+    avcodec_free_context(&enc);
+    avformat_free_context(fmt);
+    return -1;
+  }
+  if (avformat_write_header(fmt, nullptr) < 0) {
+    avcodec_free_context(&enc);
+    avformat_free_context(fmt);
+    return -1;
+  }
+
+  SwrContext* swr = nullptr;
+  AVChannelLayout mono = AV_CHANNEL_LAYOUT_MONO;
+  swr_alloc_set_opts2(&swr, &mono, enc->sample_fmt, rate, &mono,
+                      AV_SAMPLE_FMT_FLT, rate, 0, nullptr);
+  swr_init(swr);
+
+  int fsz = enc->frame_size > 0 ? enc->frame_size : 1024;
+  AVFrame* frame = av_frame_alloc();
+  AVPacket* pkt = av_packet_alloc();
+  int64_t pos = 0;
+  int rc = 0;
+  auto drain = [&](bool flush) {
+    while (true) {
+      int r = avcodec_receive_packet(enc, pkt);
+      if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) return 0;
+      if (r < 0) return -1;
+      pkt->stream_index = 0;
+      av_packet_rescale_ts(pkt, enc->time_base, st->time_base);
+      if (av_interleaved_write_frame(fmt, pkt) < 0) return -1;
+    }
+    (void)flush;
+  };
+  while (pos < n && rc == 0) {
+    int take = (int)((n - pos) < fsz ? (n - pos) : fsz);
+    frame->nb_samples = take;
+    frame->format = enc->sample_fmt;
+    av_channel_layout_copy(&frame->ch_layout, &enc->ch_layout);
+    frame->sample_rate = rate;
+    if (av_frame_get_buffer(frame, 0) < 0) { rc = -1; break; }
+    const uint8_t* src[1] = {(const uint8_t*)(samples + pos)};
+    swr_convert(swr, frame->extended_data, take, src, take);
+    frame->pts = pos;
+    pos += take;
+    if (avcodec_send_frame(enc, frame) < 0) rc = -1;
+    av_frame_unref(frame);
+    if (rc == 0) rc = drain(false);
+  }
+  if (rc == 0) {
+    avcodec_send_frame(enc, nullptr);
+    rc = drain(true);
+    while (rc == 0) {
+      int r = avcodec_receive_packet(enc, pkt);
+      if (r == AVERROR_EOF || r == AVERROR(EAGAIN)) break;
+      if (r < 0) { rc = -1; break; }
+      pkt->stream_index = 0;
+      av_packet_rescale_ts(pkt, enc->time_base, st->time_base);
+      av_interleaved_write_frame(fmt, pkt);
+    }
+  }
+  av_write_trailer(fmt);
+  av_packet_free(&pkt);
+  av_frame_free(&frame);
+  swr_free(&swr);
+  avcodec_free_context(&enc);
+  if (!(fmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&fmt->pb);
+  avformat_free_context(fmt);
+  return rc;
+}
+
+}  // extern "C"

@@ -6,10 +6,12 @@ floor(duration / frame_size); element i = exactly
 ``frame_size * sample_rate`` float32 mono samples starting at
 ``i * frame_size`` seconds, zero-filled past EOF (audio_source.cpp:176-186).
 
-This environment has no ffmpeg/libav, so WAV (PCM 8/16/32-bit and float) is
-decoded natively; compressed formats raise with a clear message (the decode
-path is pluggable — set ``AudioStream.DECODER`` to a callable returning
-(samples_f32_mono, sample_rate) to add codecs).
+WAV (PCM 8/16/32-bit) decodes through the pure-python parser below (exact,
+no codec delay); every other container/codec goes through the native libav
+module (io/av.py -> runtime/native/st_av.cpp), matching the reference's
+any-codec support. The decode path stays pluggable — set
+``AudioStream.DECODER`` to a callable returning (samples_f32_mono,
+sample_rate) to override.
 """
 
 from __future__ import annotations
@@ -47,10 +49,14 @@ def decode_wav(path: str) -> Tuple[np.ndarray, int]:
 def _default_decoder(path: str) -> Tuple[np.ndarray, int]:
     if path.lower().endswith(".wav"):
         return decode_wav(path)
+    from ..io import av
+
+    if av.available():
+        return av.decode_audio(path)
     raise NotImplementedError(
-        f"cannot decode {path!r}: no ffmpeg/libav in this environment; "
-        "only WAV is supported natively (set AudioStream.DECODER to plug "
-        "in a codec)"
+        f"cannot decode {path!r}: the native libav module failed to build "
+        "and only WAV has a pure-python parser (set AudioStream.DECODER "
+        "to plug in a codec)"
     )
 
 

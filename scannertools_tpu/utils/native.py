@@ -23,6 +23,14 @@ _CACHE: dict = {}
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)),
                            "runtime", "native")
 
+# Extra link/compile flags per native module. st_av binds the system
+# libav* (present as distro packages in this image; the build degrades to
+# None — and callers to their cv2/WAV fallbacks — when absent).
+_EXTRA_FLAGS = {
+    "st_av": ["-lavformat", "-lavcodec", "-lswscale", "-lswresample",
+              "-lavutil"],
+}
+
 
 def load(name: str = "st_io") -> Optional[ctypes.CDLL]:
     """Build (if needed) and load lib<name>.so; None when unavailable."""
@@ -45,7 +53,8 @@ def load(name: str = "st_io") -> Optional[ctypes.CDLL]:
             try:
                 subprocess.run(
                     ["g++", "-O2", "-std=c++17", "-shared", "-fPIC",
-                     "-o", so + ".tmp", src],
+                     "-o", so + ".tmp", src]
+                    + _EXTRA_FLAGS.get(name, []),
                     check=True, capture_output=True,
                 )
                 os.replace(so + ".tmp", so)
@@ -86,3 +95,27 @@ def _configure(name: str, lib: ctypes.CDLL) -> None:
         lib.st_ring_size.restype = ctypes.c_int
         lib.st_ring_size.argtypes = [ctypes.c_void_p]
         lib.st_ring_destroy.argtypes = [ctypes.c_void_p]
+    elif name == "st_av":
+        lib.st_av_open.restype = ctypes.c_void_p
+        lib.st_av_open.argtypes = [ctypes.c_char_p]
+        lib.st_av_meta.restype = ctypes.c_int
+        lib.st_av_meta.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int64)]
+        lib.st_av_error.restype = ctypes.c_char_p
+        lib.st_av_error.argtypes = [ctypes.c_void_p]
+        lib.st_av_read.restype = ctypes.c_int64
+        lib.st_av_read.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_void_p]
+        lib.st_av_close.argtypes = [ctypes.c_void_p]
+        lib.st_av_audio_decode.restype = ctypes.c_int64
+        lib.st_av_audio_decode.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_int)]
+        lib.st_av_free.argtypes = [ctypes.c_void_p]
+        lib.st_av_audio_encode.restype = ctypes.c_int
+        lib.st_av_audio_encode.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int]
