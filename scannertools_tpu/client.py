@@ -29,15 +29,21 @@ class _OpFactory:
         opdef = get_op(self._name)
         inputs: Dict[str, NodeOutput] = {}
         params: Dict[str, Any] = {}
+        device = None
         for k, v in kwargs.items():
             if isinstance(v, (Node, NodeOutput)):
                 inputs[k] = as_output(v)
-            elif k in ("device",):
-                # accepted for reference API parity; placement is automatic
-                continue
+            elif k == "device":
+                # DeviceType.CPU forces this op's segment onto the JAX CPU
+                # backend (reference DeviceTestBench, tests/test_all.py:
+                # 141-147); GPU/TPU/None run on the default accelerator.
+                from .config import DeviceType
+
+                if v in (DeviceType.CPU, "cpu"):
+                    device = "cpu"
             else:
                 params[k] = v
-        node = OpNode(self._name, inputs, params)
+        node = OpNode(self._name, inputs, params, device=device)
         return node
 
 

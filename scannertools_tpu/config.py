@@ -19,12 +19,14 @@ from typing import Optional
 
 
 class DeviceType(enum.Enum):
-    """Kept for API parity with the reference (per-op ``device=`` kwarg).
+    """Per-op ``device=`` kwarg (reference API parity).
 
-    In the TPU-native design there is no per-op CPU/GPU placement: device ops
-    run on the default JAX backend (TPU when present), host ops on the host.
-    ``CPU`` forces a device op onto the JAX CPU backend (used by parity tests,
-    mirroring the reference's DeviceTestBench, tests/test_all.py:141-147).
+    ``CPU`` forces the op's fused segment onto the JAX CPU backend — the
+    executor commits the segment's inputs to a CPU device and returns host
+    outputs (used by cross-backend parity tests, mirroring the reference's
+    DeviceTestBench, tests/test_all.py:141-147; requires the CPU backend in
+    JAX_PLATFORMS). ``GPU``/``TPU``/unset run on the default accelerator;
+    host ops always run on the host.
     """
 
     CPU = "cpu"
@@ -49,6 +51,13 @@ class CacheMode(enum.Enum):
     Resume = "resume"      # skip committed; continue interrupted jobs
 
 
+# Host-staging budget per work packet. One packet is simultaneously (a) a
+# decode-ring slot, (b) an HBM-resident chunk, and (c) the unit of XLA
+# dispatch — 128 MB amortizes per-chunk dispatch overhead without starving
+# the ring (slots = depth+2 packets) or HBM (v5e: 16 GB).
+_PACKET_BYTE_BUDGET = 128 << 20
+
+
 @dataclasses.dataclass(frozen=True)
 class PerfParams:
     """Chunking/prefetch knobs.
@@ -57,17 +66,55 @@ class PerfParams:
     io_packet_size:   frames per host decode request (>= work_packet_size).
     pipeline_instances_per_node: data-parallel lanes over the device mesh.
     prefetch_depth:   number of chunks decoded ahead of device execution.
+
+    ``estimate()`` defers the choice: the executor calls ``resolve()`` per
+    job with the stream's actual frame geometry and the graph's stencil
+    halo (the reference engine's auto-estimator role — it sized io/work
+    packets from stream statistics).
     """
 
     work_packet_size: int = 64
     io_packet_size: int = 256
     pipeline_instances_per_node: int = 1
     prefetch_depth: int = 2
+    auto: bool = False
+    fixed: tuple = ()  # fields pinned by estimate(**overrides)
 
     @classmethod
     def estimate(cls, **overrides) -> "PerfParams":
-        """Pick sane defaults (the reference's auto-estimator analog)."""
-        return cls(**overrides)
+        """Auto-size packets per job from stream metadata; any explicitly
+        passed knob stays fixed (reference PerfParams.estimate analog)."""
+        return cls(auto=True, fixed=tuple(sorted(overrides)), **overrides)
+
+    def resolve(self, frame_bytes: Optional[int] = None, halo: int = 0,
+                n_devices: int = 1) -> "PerfParams":
+        """Concrete params for one job.
+
+        frame_bytes: decoded size of one element (H*W*3 for video; None for
+        non-frame streams, which keep the defaults — elements are small).
+        halo: extra rows each chunk decodes for temporal stencils.
+        n_devices: data-parallel mesh size (chunks must divide evenly to
+        avoid pad waste).
+        """
+        if not self.auto:
+            return self
+        w = self.work_packet_size
+        if "work_packet_size" not in self.fixed and frame_bytes:
+            w = _PACKET_BYTE_BUDGET // max(frame_bytes, 1) - halo
+            # multiple of 8 (sublane-friendly) and of the mesh
+            m = 8 * max(1, n_devices)
+            w = max(m, min(512, w - w % m))
+        io = self.io_packet_size
+        if "io_packet_size" not in self.fixed:
+            io = 4 * w
+        depth = self.prefetch_depth
+        if "prefetch_depth" not in self.fixed:
+            depth = max(2, io // max(w, 1))
+        return PerfParams(
+            work_packet_size=w, io_packet_size=max(io, w),
+            pipeline_instances_per_node=self.pipeline_instances_per_node,
+            prefetch_depth=depth,
+        )
 
     @classmethod
     def manual(

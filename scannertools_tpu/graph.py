@@ -38,6 +38,12 @@ class Node:
         self.params: Dict[str, Any] = {}
 
     def __getitem__(self, i: int) -> NodeOutput:
+        # bounded for op nodes so `a, b = sc.ops.TwoOutputOp(...)` unpacks
+        if self.kind == "op":
+            from .registry import get_op
+
+            if i >= get_op(self.name).n_outputs:
+                raise IndexError(i)
         return NodeOutput(self, i)
 
     def out(self, i: int = 0) -> NodeOutput:
@@ -82,10 +88,14 @@ class SampleNode(Node):
 
 
 class OpNode(Node):
-    def __init__(self, op_name: str, inputs: Dict[str, NodeOutput], params: Dict[str, Any]):
+    def __init__(self, op_name: str, inputs: Dict[str, NodeOutput],
+                 params: Dict[str, Any], device: Optional[str] = None):
         super().__init__("op", op_name)
         self.inputs = inputs
         self.params = params
+        # None = default accelerator; "cpu" = force the JAX CPU backend
+        # (reference per-op device=DeviceType.CPU; tests/test_all.py:141-147)
+        self.device = device
 
 
 class OutputNode(Node):

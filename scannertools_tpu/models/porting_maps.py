@@ -389,6 +389,39 @@ def port_maskrcnn(variables: Dict, state_dict: Mapping,
 
 # -------------------------------------------------------------- helpers
 
+def faster_rcnn_mapping() -> Dict[str, Tuple[str, str]]:
+    """flax path -> ``<caffe layer>.weight/.bias`` for a py-faster-rcnn
+    VGG16 caffemodel (the net behind faster_rcnn_kernel.cpp; layer names
+    from the public test.prototxt: conv1_1..conv5_3, rpn_conv/3x3,
+    rpn_cls_score, rpn_bbox_pred, fc6, fc7, cls_score, bbox_pred). fc6
+    flattens caffe's CHW pool5 — ported with the linear_conv permutation
+    (512,7,7); every other dense is a plain [O,I] -> [I,O] transpose."""
+    out: Dict[str, Tuple[str, str]] = {}
+
+    def conv(flax_path, caffe_layer):
+        out[f"params/{flax_path}/kernel"] = (f"{caffe_layer}.weight", "conv")
+        out[f"params/{flax_path}/bias"] = (f"{caffe_layer}.bias", "raw")
+
+    for blk, reps in (("conv1", 2), ("conv2", 2), ("conv3", 3),
+                      ("conv4", 3), ("conv5", 3)):
+        for i in range(1, reps + 1):
+            conv(f"vgg/{blk}_{i}", f"{blk}_{i}")
+    conv("rpn_conv", "rpn_conv/3x3")
+    conv("rpn_cls_score", "rpn_cls_score")
+    conv("rpn_bbox_pred", "rpn_bbox_pred")
+    out["params/fc6/kernel"] = ("fc6.weight", "linear_conv:512,7,7")
+    out["params/fc6/bias"] = ("fc6.bias", "raw")
+    for d in ("fc7", "cls_score", "bbox_pred"):
+        out[f"params/{d}/kernel"] = (f"{d}.weight", "linear")
+        out[f"params/{d}/bias"] = (f"{d}.bias", "raw")
+    return out
+
+
+def port_faster_rcnn(variables: Dict, state_dict: Mapping) -> Dict:
+    return _port_with_linear_conv(variables, state_dict,
+                                  faster_rcnn_mapping())
+
+
 def _port_with_linear_conv(params: Dict, state_dict: Dict,
                            mapping: Dict[str, Tuple[str, str]]) -> Dict:
     """port_state_dict variant supporting the 'linear_conv:C,H,W' kind."""

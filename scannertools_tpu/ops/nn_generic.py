@@ -42,7 +42,8 @@ def get_model(name: str) -> Tuple[Callable, Callable]:
 
 
 def _register_builtins() -> None:
-    from ..models import facenet, facenet_detector, gender, pose, ssd
+    from ..models import facenet, facenet_detector, faster_rcnn, gender, \
+        pose, ssd
 
     register_model("facenet_inception_resnet_v1", facenet.init_params,
                    facenet.embed)
@@ -53,6 +54,7 @@ def _register_builtins() -> None:
                    pose.OpenPoseBody().apply)
     register_model("facenet_detector", facenet_detector.init_params,
                    facenet_detector.apply)
+    register_model("faster_rcnn", faster_rcnn.init_params, faster_rcnn.apply)
 
 
 _register_builtins()
@@ -106,6 +108,28 @@ def nn_forward(ctx, input, model: str = "", descriptor_path: str = "",
     if isinstance(out, (tuple, list)):
         out = out[0]
     return [np.asarray(o) for o in np.asarray(out)]
+
+
+@register_op("FasterRCNN", kind="host",
+             outputs=("array_f32", "array_f32", "array_f32"))
+def faster_rcnn_forward(ctx, input, weights_path: Optional[str] = None):
+    """Faster R-CNN forward (faster_rcnn_kernel.cpp:6-33): input is the
+    NNInput-preprocessed frame batch (BGR, caffe mean); emits per frame
+    cls_prob [R,81], rois [R,5] (batch, x1, y1, x2, y2 in input pixels —
+    im_info scale is 1.0, matching the reference's net_config), fc7
+    [R,4096]. Feed FasterRCNNOutput for the 0.7-threshold argmax decode."""
+    init_fn, apply_fn = get_model("faster_rcnn")
+    variables = _get_params("nn:faster_rcnn", weights_path, init_fn)
+    key = ("nn_fn:faster_rcnn",)
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = jax.jit(apply_fn)
+    x = jnp.asarray(np.asarray(input, np.float32))
+    with ctx.profiler.span("nn:faster_rcnn") if ctx and ctx.profiler else \
+            _null():
+        cls_prob, rois, fc7 = _MODEL_CACHE[key](variables, x)
+    return ([np.asarray(c) for c in np.asarray(cls_prob)],
+            [np.asarray(r) for r in np.asarray(rois)],
+            [np.asarray(f) for f in np.asarray(fc7)])
 
 
 class _null:

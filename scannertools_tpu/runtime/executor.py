@@ -47,6 +47,40 @@ def _clamp(i: int, lo: int, hi: int) -> int:
     return max(lo, min(hi, i))
 
 
+def _ser_params(v) -> str:
+    """Deterministic serialization for op params (array bytes hashed, not
+    elided by repr) — used by the resume signature and the segment cache."""
+    import hashlib
+
+    if isinstance(v, np.ndarray):
+        return (f"ndarray({v.shape},{v.dtype},"
+                f"{hashlib.sha256(v.tobytes()).hexdigest()})")
+    if isinstance(v, (list, tuple)):
+        return f"{type(v).__name__}[" + ",".join(_ser_params(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(
+            f"{k!r}:{_ser_params(x)}" for k, x in sorted(v.items(), key=repr)
+        ) + "}"
+    return repr(v)
+
+
+# Process-level compiled-segment cache. jax.jit wrappers are cheap to CALL
+# but expensive to CREATE-and-first-call (retrace + persistent-cache lookup:
+# ~1s per segment on this backend, measured) — and the executor used to make
+# fresh wrappers per job, so a 100-video run re-paid that 100×. Keyed by the
+# segment's *structure* (op names, params, stencil intervals, wiring, input
+# avals, chunk length, mesh, stream meta), not node identity, so any
+# structurally identical graph — across jobs, runs, and Clients in one
+# process — reuses the compiled executable.
+_SEGMENT_JIT_CACHE: Dict[Any, Any] = {}
+
+
+def _aval_key(a) -> tuple:
+    if isinstance(a, FrameChunk):
+        return ("fc", tuple(a.flat.shape), str(a.flat.dtype), a.h, a.w, a.c)
+    return (tuple(a.shape), str(a.dtype))
+
+
 class _Value:
     """A chunk-scoped dataflow value: rows [a+lo, b+hi] of a node's stream."""
 
@@ -228,18 +262,7 @@ class Executor:
         import os as _os
 
         pos = {n.id: i for i, n in enumerate(order)}
-
-        def ser(v) -> str:
-            if isinstance(v, np.ndarray):
-                return (f"ndarray({v.shape},{v.dtype},"
-                        f"{hashlib.sha256(v.tobytes()).hexdigest()})")
-            if isinstance(v, (list, tuple)):
-                return f"{type(v).__name__}[" + ",".join(ser(x) for x in v) + "]"
-            if isinstance(v, dict):
-                return "{" + ",".join(
-                    f"{k!r}:{ser(x)}" for k, x in sorted(v.items(), key=repr)
-                ) + "}"
-            return repr(v)
+        ser = _ser_params
 
         nodes_sig = []
         for n in order:
@@ -299,6 +322,20 @@ class Executor:
                 "multi-input graphs zip rows 1:1; effective row counts "
                 f"differ per input: {[len(r) for r in rows_per]}"
             )
+        # PerfParams.estimate() defers packet sizing to here, where the
+        # job's actual frame geometry and stencil halo are known
+        if perf.auto:
+            frame_bytes = None
+            halo = 0
+            for src in sources:
+                s_lo, s_hi = need[src.id]
+                halo = max(halo, s_hi - s_lo)
+            if stream_meta.get("width"):
+                frame_bytes = stream_meta["width"] * stream_meta["height"] * 3
+            perf = perf.resolve(
+                frame_bytes, halo,
+                n_devices=1 if self._mesh is None
+                else int(self._mesh.devices.size))
         W = perf.work_packet_size
 
         # Column plumbing -------------------------------------------------
@@ -560,8 +597,10 @@ class Executor:
             if isinstance(node, OpNode) and get_op(node.name).kind == "device":
                 seg = [node]
                 j = i + 1
+                # ops forced onto different backends can't share a segment
                 while j < n and isinstance(order[j], OpNode) and \
-                        get_op(order[j].name).kind == "device":
+                        get_op(order[j].name).kind == "device" and \
+                        order[j].device == node.device:
                     seg.append(order[j])
                     j += 1
                 self._run_device_segment(seg, need, values, ctx, T, jit_cache)
@@ -584,6 +623,18 @@ class Executor:
         # T participates in the key: slice offsets inside the traced function
         # are python ints derived from T, so a shorter tail chunk must retrace.
         key = (tuple(n.id for n in seg), T)
+        forced = seg[0].device  # grouping guarantees uniformity
+        cpu_dev = None
+        if forced == "cpu":
+            try:
+                cpu_dev = jax.local_devices(backend="cpu")[0]
+            except RuntimeError as e:
+                raise RuntimeError(
+                    f"op {seg[0].name}: device=DeviceType.CPU requested but "
+                    "the JAX CPU backend is unavailable (JAX_PLATFORMS "
+                    "excludes 'cpu'; set JAX_PLATFORMS=tpu,cpu or drop the "
+                    "device= kwarg)"
+                ) from e
         # external inputs of the segment, in deterministic order
         seg_ids = {n.id for n in seg}
         ext: List[Tuple[int, int, int, int]] = []  # (node.id, idx, lo, hi)
@@ -598,41 +649,6 @@ class Executor:
                     ext.append((e.node.id, e.index, ev.lo, ev.hi))
                     ext_edges.append(e)
 
-        if key not in jit_cache:
-            seg_nodes = list(seg)
-            need_s = dict(need)
-            ext_meta = list(ext)
-
-            def segment_fn(*arrays):
-                local: Dict[Tuple[int, int], _Value] = {}
-                for (nid, idx, lo, hi), arr in zip(ext_meta, arrays):
-                    local[(nid, idx)] = _Value(arr, lo, hi, True)
-                outs = []
-                for node in seg_nodes:
-                    opdef = get_op(node.name)
-                    n_lo, n_hi = need_s[node.id]
-                    s_lo, s_hi = opdef.stencil
-                    args = []
-                    for e in node.inputs.values():
-                        v = local[(e.node.id, e.index)]
-                        args.append(v.slice_rows(n_lo + s_lo, n_hi + s_hi, T))
-                    res = opdef.fn(ctx, *args, **node.params)
-                    if opdef.n_outputs == 1:
-                        res = (res,)
-                    for k, r in enumerate(res):
-                        local[(node.id, k)] = _Value(r, n_lo, n_hi, True)
-                for node in seg_nodes:
-                    for k in range(get_op(node.name).n_outputs):
-                        outs.append(local[(node.id, k)].data)
-                return tuple(outs)
-
-            import os as _os
-
-            if _os.environ.get("ST_TPU_NO_JIT"):  # debugging escape hatch
-                jit_cache[key] = segment_fn
-            else:
-                jit_cache[key] = jax.jit(segment_fn)
-
         arrays = []
         for e in ext_edges:
             v = values[(e.node.id, e.index)]
@@ -640,6 +656,84 @@ class Executor:
             if isinstance(data, list):
                 data = np.stack(data)
             arrays.append(data)  # FrameChunks pass through as pytrees
+
+        if key not in jit_cache:
+            import os as _os
+
+            no_jit = bool(_os.environ.get("ST_TPU_NO_JIT"))
+            # structural key: reusable across jobs/runs/Clients (the closure
+            # below only reads per-node structure, stencils and params — all
+            # captured here — plus ctx, whose traced influence is limited to
+            # stream_meta, also in the key)
+            pos = {(nid, idx): ("ext", k)
+                   for k, (nid, idx, _, _) in enumerate(ext)}
+            for si_, node in enumerate(seg):
+                for oi in range(get_op(node.name).n_outputs):
+                    pos[(node.id, oi)] = ("seg", si_, oi)
+            struct = tuple(
+                (node.name, _ser_params(node.params), need[node.id],
+                 tuple((nm, pos[(e.node.id, e.index)])
+                       for nm, e in node.inputs.items()))
+                for node in seg
+            )
+            skey = (
+                struct,
+                tuple((lo, hi) for _, _, lo, hi in ext),
+                tuple(_aval_key(a) for a in arrays),
+                T,
+                None if self._mesh is None else int(self._mesh.devices.size),
+                tuple(sorted(ctx.stream_meta.items())),
+                no_jit,
+                forced,
+            )
+            if skey not in _SEGMENT_JIT_CACHE:
+                if len(_SEGMENT_JIT_CACHE) >= 256:  # runaway-shape backstop
+                    _SEGMENT_JIT_CACHE.clear()
+                seg_nodes = list(seg)
+                need_s = dict(need)
+                ext_meta = list(ext)
+
+                def segment_fn(*arrays):
+                    local: Dict[Tuple[int, int], _Value] = {}
+                    for (nid, idx, lo, hi), arr in zip(ext_meta, arrays):
+                        local[(nid, idx)] = _Value(arr, lo, hi, True)
+                    outs = []
+                    for node in seg_nodes:
+                        opdef = get_op(node.name)
+                        n_lo, n_hi = need_s[node.id]
+                        s_lo, s_hi = opdef.stencil
+                        args = []
+                        for e in node.inputs.values():
+                            v = local[(e.node.id, e.index)]
+                            args.append(
+                                v.slice_rows(n_lo + s_lo, n_hi + s_hi, T))
+                        res = opdef.fn(ctx, *args, **node.params)
+                        if opdef.n_outputs == 1:
+                            res = (res,)
+                        for k, r in enumerate(res):
+                            local[(node.id, k)] = _Value(r, n_lo, n_hi, True)
+                    for node in seg_nodes:
+                        for k in range(get_op(node.name).n_outputs):
+                            outs.append(local[(node.id, k)].data)
+                    return tuple(outs)
+
+                _SEGMENT_JIT_CACHE[skey] = (
+                    segment_fn if no_jit else jax.jit(segment_fn))
+            jit_cache[key] = _SEGMENT_JIT_CACHE[skey]
+
+        if cpu_dev is not None:
+            # commit inputs to the CPU backend; jit follows committed
+            # placement. Outputs come back as host numpy so a downstream
+            # accelerator segment re-uploads cleanly instead of tripping
+            # over committed CPU arrays.
+            arrays = [jax.device_put(a, cpu_dev) for a in arrays]
+            with self.profiler.span(
+                    "device:" + "+".join(n.name for n in seg) + "@cpu"):
+                outs = jit_cache[key](*arrays)
+                outs = jax.tree_util.tree_map(
+                    lambda o: np.asarray(jax.device_get(o)), outs)
+            self._store_segment_outputs(seg, need, values, outs)
+            return
         if self._mesh is not None:
             # frames sharded over the data axis; GSPMD partitions the whole
             # segment and inserts halo collectives for stencil slices

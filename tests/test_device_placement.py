@@ -1,0 +1,55 @@
+"""Per-op device forcing (device=DeviceType.CPU) — the reference's
+DeviceTestBench analog (tests/test_all.py:141-147): the same op body runs
+on the CPU backend and the default backend and must agree exactly.
+"""
+
+import numpy as np
+import pytest
+
+import scannertools_tpu as st
+from scannertools_tpu.config import DeviceType
+
+
+def _run_hist(sc, ingested, name, device=None):
+    frame = sc.io.Input([ingested])
+    sampled = sc.streams.Range(frame, [(0, 48)])
+    kwargs = {"frame": sampled}
+    if device is not None:
+        kwargs["device"] = device
+    hist = sc.ops.Histogram(**kwargs)
+    out = st.NamedStream(sc, name)
+    sc.run(sc.io.Output(hist, [out]),
+           st.PerfParams.manual(work_packet_size=16),
+           cache_mode=st.CacheMode.Overwrite)
+    return [np.stack(h) for h in out.load()]
+
+
+def test_cpu_forcing_matches_default(sc, ingested):
+    default = _run_hist(sc, ingested, "dev_hist_default")
+    forced = _run_hist(sc, ingested, "dev_hist_cpu", device=DeviceType.CPU)
+    assert len(default) == len(forced) == 48
+    for a, b in zip(default, forced):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_gpu_alias_accepted(sc, ingested):
+    """Reference pipelines pass device=DeviceType.GPU; it maps to the
+    default accelerator (no error, same results)."""
+    rows = _run_hist(sc, ingested, "dev_hist_gpu", device=DeviceType.GPU)
+    assert len(rows) == 48
+
+
+def test_mixed_device_graph_splits_segments(sc, ingested):
+    """A CPU-forced op between default-device ops still composes: segments
+    split at the device boundary and results flow through."""
+    frame = sc.io.Input([ingested])
+    sampled = sc.streams.Range(frame, [(0, 8)])
+    blurred = sc.ops.Blur(frame=sampled, kernel_size=3, sigma=0.5,
+                          device=DeviceType.CPU)
+    hist = sc.ops.Histogram(frame=blurred)
+    out = st.NamedStream(sc, "dev_mixed")
+    sc.run(sc.io.Output(hist, [out]),
+           st.PerfParams.manual(work_packet_size=8),
+           cache_mode=st.CacheMode.Overwrite)
+    rows = list(out.load())
+    assert len(rows) == 8
