@@ -288,6 +288,42 @@ def port_openpose(params: Dict, state_dict: Mapping, stages: int = 6) -> Dict:
     return W.port_state_dict(params, state_dict, openpose_mapping(stages))
 
 
+def openpose_crop_mapping(stages: int = 6) -> Dict[str, Tuple[str, str]]:
+    """flax path -> caffe layer names for the CMU face/hand crop nets
+    (pose_face/pose_hand deploy prototxts behind openpose_kernel.cpp:
+    108-141). One mapping serves both: the nets share layer names and
+    differ only in the head's channel count (71 vs 22)."""
+    out: Dict[str, Tuple[str, str]] = {}
+
+    def conv(name, caffe=None, bare=False):
+        base = name if bare else f"{name}/conv"
+        caffe = caffe or name
+        out[f"params/{base}/kernel"] = (f"{caffe}.weight", "conv")
+        out[f"params/{base}/bias"] = (f"{caffe}.bias", "raw")
+
+    for blk, reps in (("conv1", 2), ("conv2", 2), ("conv3", 4),
+                      ("conv4", 4)):
+        for i in range(1, reps + 1):
+            conv(f"{blk}_{i}")
+    conv("conv5_1")
+    conv("conv5_2")
+    conv("conv5_3_CPM")
+    conv("conv6_1_CPM")
+    conv("conv6_2_CPM", bare=True)
+    for s in range(2, stages + 1):
+        for j in range(1, 7):
+            conv(f"Mconv{j}_stage{s}")
+        conv(f"Mconv7_stage{s}", bare=True)
+    return out
+
+
+def port_openpose_crop(params: Dict, state_dict: Mapping,
+                       stages: int = 6) -> Dict:
+    """Port a face (71-ch) or hand (22-ch) caffemodel state_dict."""
+    return W.port_state_dict(params, state_dict,
+                             openpose_crop_mapping(stages))
+
+
 # --------------------------------------- Levi–Hassner gender (rude-carnie)
 
 def gender_mapping() -> Dict[str, Tuple[str, str]]:

@@ -114,6 +114,77 @@ def init_params(rng: jax.Array, stages: int = 6) -> Dict[str, Any]:
     )
 
 
+class OpenPoseCrop(nn.Module):
+    """The CMU single-person crop networks (face: 70 kp + bg; hand: 21 kp
+    + bg) behind the wrapper's face/hand flags (openpose_kernel.cpp:
+    108-141). Shared topology, per the public pose_face/pose_hand deploy
+    prototxts: VGG19-style front (conv1_1..conv4_4 + conv5_1/5_2), a
+    conv5_3_CPM feature layer, a 1×1 stage-1 head, then ``stages`` 7×7
+    refinement stages over [prev, features] concat. Layer names mirror the
+    caffe layers so face/hand caffemodels port (porting_maps.
+    openpose_crop_mapping)."""
+
+    out_channels: int  # 71 face, 22 hand
+    stages: int = 6
+
+    @nn.compact
+    def __call__(self, x):  # [B, H, W, 3] in [-0.5, 0.5]
+        cfg = [(64, False), (64, True), (128, False), (128, True),
+               (256, False), (256, False), (256, False), (256, True),
+               (512, False), (512, False), (512, False), (512, False),
+               (512, False), (512, False)]
+        names = ["conv1_1", "conv1_2", "conv2_1", "conv2_2", "conv3_1",
+                 "conv3_2", "conv3_3", "conv3_4", "conv4_1", "conv4_2",
+                 "conv4_3", "conv4_4", "conv5_1", "conv5_2"]
+        for (f, pool), name in zip(cfg, names):
+            x = _ConvRelu(f, name=name)(x)
+            if pool:
+                x = nn.max_pool(x, (2, 2), (2, 2))
+        feat = _ConvRelu(128, name="conv5_3_CPM")(x)
+
+        h = _ConvRelu(512, kernel=1, name="conv6_1_CPM")(feat)
+        out = nn.Conv(self.out_channels, (1, 1), name="conv6_2_CPM")(h)
+        for s in range(2, self.stages + 1):
+            h = jnp.concatenate([out, feat], axis=-1)
+            for j in range(1, 6):
+                h = _ConvRelu(128, kernel=7, name=f"Mconv{j}_stage{s}")(h)
+            h = _ConvRelu(128, kernel=1, name=f"Mconv6_stage{s}")(h)
+            out = nn.Conv(self.out_channels, (1, 1),
+                          name=f"Mconv7_stage{s}")(h)
+        return out  # [B, H/8, W/8, out_channels]
+
+
+FACE_KEYPOINTS = 70
+HAND_KEYPOINTS = 21
+
+
+def init_face_params(rng: jax.Array, stages: int = 6) -> Dict[str, Any]:
+    return OpenPoseCrop(FACE_KEYPOINTS + 1, stages=stages).init(
+        rng, jnp.zeros((1, 64, 64, 3)))
+
+
+def init_hand_params(rng: jax.Array, stages: int = 6) -> Dict[str, Any]:
+    return OpenPoseCrop(HAND_KEYPOINTS + 1, stages=stages).init(
+        rng, jnp.zeros((1, 64, 64, 3)))
+
+
+def crop_keypoints(variables, crops: jnp.ndarray, n_kp: int,
+                   stages: int = 6) -> jnp.ndarray:
+    """Decode a batch of single-person crops -> [B, n_kp, 3] (x, y in crop-
+    normalized [0,1], score). Single subject per crop, so the per-channel
+    argmax is the keypoint (the wrapper does the same for face/hands —
+    there is no PAF grouping in the crop nets)."""
+    maps = OpenPoseCrop(n_kp + 1, stages=stages).apply(variables, crops)
+    maps = maps[..., :n_kp]  # drop background
+    b, mh, mw, _ = maps.shape
+    flat = maps.reshape(b, mh * mw, n_kp)
+    idx = jnp.argmax(flat, axis=1)                      # [B, n_kp]
+    score = jnp.take_along_axis(flat, idx[:, None, :], axis=1)[:, 0, :]
+    ys = (idx // mw).astype(jnp.float32) / mh
+    xs = (idx % mw).astype(jnp.float32) / mw
+    return jnp.stack([xs, ys, score], axis=-1)
+
+
 def find_peaks(heat: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """heat: [H, W, 19] -> peaks [18, MAX_PEAKS, 3] (x, y, score) and
     valid mask [18, MAX_PEAKS]. 3×3 local maxima above THRE_PEAK."""

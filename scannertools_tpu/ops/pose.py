@@ -148,15 +148,86 @@ def _parse_pose_list(buf: bytes) -> List[Pose]:
 register_type("pose_list", _ser_pose_list, _parse_pose_list)
 
 
+def _hand_box(pose: Pose, wrist: int, elbow: int):
+    """Hand rectangle from forearm keypoints — the wrapper's handDetector
+    heuristic (center = wrist extended 1/3 past the elbow→wrist direction,
+    side ∝ forearm length; openpose src/openpose/hand/handDetector.cpp).
+    Normalized coords in, normalized (x0, y0, x1, y1, score) out."""
+    p = pose.pose_keypoints()
+    w_, e_ = p[wrist], p[elbow]
+    if w_[2] < 0.05 or e_[2] < 0.05:
+        return None
+    cx = w_[0] + 0.33 * (w_[0] - e_[0])
+    cy = w_[1] + 0.33 * (w_[1] - e_[1])
+    side = 1.2 * float(np.hypot(w_[0] - e_[0], w_[1] - e_[1]))
+    if side <= 0:
+        return None
+    return (cx - side / 2, cy - side / 2, cx + side / 2, cy + side / 2,
+            float(min(w_[2], e_[2])))
+
+
+def _extract_crop(frame_f32: np.ndarray, box, size: int) -> np.ndarray:
+    """Normalized box -> [size, size, 3] crop in [-0.5, 0.5] (gray-padded
+    outside the frame, like CPM2Input's gray(128) border)."""
+    import cv2
+
+    h, w = frame_f32.shape[:2]
+    x0, y0, x1, y1 = (int(round(box[0] * w)), int(round(box[1] * h)),
+                      int(round(box[2] * w)), int(round(box[3] * h)))
+    bw, bh = max(x1 - x0, 1), max(y1 - y0, 1)
+    out = np.full((bh, bw, 3), 128.0, np.float32)
+    sx0, sy0 = max(x0, 0), max(y0, 0)
+    sx1, sy1 = min(x1, w), min(y1, h)
+    if sx1 > sx0 and sy1 > sy0:
+        out[sy0 - y0:sy1 - y0, sx0 - x0:sx1 - x0] = \
+            frame_f32[sy0:sy1, sx0:sx1]
+    out = cv2.resize(out, (size, size), interpolation=cv2.INTER_LINEAR)
+    return out / 255.0 - 0.5
+
+
+def _run_crop_net(cache_tag: str, weights_path, init_fn, n_kp: int,
+                  crops: List[np.ndarray]):
+    """Batch all crops through the jitted sub-network; pad the batch to a
+    multiple of 4 so XLA sees few distinct shapes."""
+    variables = _get_params(cache_tag, weights_path, init_fn)
+    b = len(crops)
+    pb = -(-b // 4) * 4
+    batch = np.zeros((pb,) + crops[0].shape, np.float32)
+    batch[:b] = np.stack(crops)
+    key = (f"{cache_tag}_fn", pb, crops[0].shape[0])
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = jax.jit(
+            lambda v, x: pose_lib.crop_keypoints(v, x, n_kp))
+    out = np.asarray(_MODEL_CACHE[key](variables, jnp.asarray(batch)))
+    return out[:b]  # [b, n_kp, 3] crop-normalized
+
+
+def _write_back(kp_full: np.ndarray, slot: int, n_kp: int, box,
+                crop_kp: np.ndarray) -> None:
+    """Map crop-normalized keypoints into frame-normalized Pose slots."""
+    x0, y0, x1, y1 = box[:4]
+    kp_full[slot:slot + n_kp, 0] = x0 + crop_kp[:, 0] * (x1 - x0)
+    kp_full[slot:slot + n_kp, 1] = y0 + crop_kp[:, 1] * (y1 - y0)
+    kp_full[slot:slot + n_kp, 2] = crop_kp[:, 2]
+
+
 @register_op("OpenPose", kind="host", outputs=("pose_list",))
 def openpose(ctx, frame, weights_path: Optional[str] = None,
              pose_num_scales: int = 1, pose_scale_gap: float = 0.1,
              compute_face: bool = False, compute_hands: bool = False,
-             batch: int = 0):
+             face_weights_path: Optional[str] = None,
+             hand_weights_path: Optional[str] = None,
+             crop_net_size: int = 368, batch: int = 0):
     """Body-pose detection. ``pose_num_scales``/``pose_scale_gap`` follow
     the reference op's multi-scale knobs (openpose_kernel.cpp:94-141);
     scales are averaged in heatmap space. Keypoints are emitted normalized
-    to [0,1] like the reference Pose type expects."""
+    to [0,1] like the reference Pose type expects.
+
+    ``compute_face``/``compute_hands`` run the CMU crop sub-networks
+    (openpose_kernel.cpp:108-141): face crops from the body-derived face
+    box, hand crops from the forearm heuristic, each decoded by per-channel
+    argmax and written into the 130-keypoint layout's face/hand slots.
+    ``crop_net_size`` is the crop resolution (the wrapper's 368×368)."""
     variables = _get_params("openpose", weights_path, pose_lib.init_params)
     frames = _to_f32_frames(frame)
     t, h, w, _ = frames.shape
@@ -191,6 +262,45 @@ def openpose(ctx, frame, weights_path: Optional[str] = None,
             full[: Pose.POSE_KEYPOINTS] = body
             poses.append(Pose(score, full))
         out.append(poses)
+
+    if compute_face or compute_hands:
+        FK, HK = Pose.FACE_KEYPOINTS, Pose.HAND_KEYPOINTS
+        face_slot = Pose.POSE_KEYPOINTS
+        lhand_slot = face_slot + FK
+        rhand_slot = lhand_slot + HK
+        # gather (crop, pose, slot box) work items across the whole chunk
+        face_items, hand_items = [], []
+        for i, poses in enumerate(out):
+            for p in poses:
+                if compute_face:
+                    (fx0, fy0), (fx1, fy1), fs = p.face_bbox()
+                    if fs > 0.05 and fx1 > fx0:
+                        face_items.append(
+                            (p, (fx0, fy0, fx1, fy1),
+                             _extract_crop(frames[i], (fx0, fy0, fx1, fy1),
+                                           crop_net_size)))
+                if compute_hands:
+                    for slot, wrist, elbow in (
+                            (lhand_slot, Pose.LWrist, Pose.LElbow),
+                            (rhand_slot, Pose.RWrist, Pose.RElbow)):
+                        hb = _hand_box(p, wrist, elbow)
+                        if hb is not None:
+                            hand_items.append(
+                                (p, slot, hb,
+                                 _extract_crop(frames[i], hb,
+                                               crop_net_size)))
+        if face_items:
+            kps = _run_crop_net("openpose_face", face_weights_path,
+                                pose_lib.init_face_params, FK,
+                                [c for _, _, c in face_items])
+            for (p, box, _), ckp in zip(face_items, kps):
+                _write_back(p._kp, face_slot, FK, box, ckp)
+        if hand_items:
+            kps = _run_crop_net("openpose_hand", hand_weights_path,
+                                pose_lib.init_hand_params, HK,
+                                [c for _, _, _, c in hand_items])
+            for (p, slot, box, _), ckp in zip(hand_items, kps):
+                _write_back(p._kp, slot, HK, box, ckp)
     return out
 
 

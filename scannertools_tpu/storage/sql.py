@@ -12,8 +12,9 @@ Reference parity: scannertools_sql — ``SQLStorage``/``SQLInputStream``/
     (sql_sink.cpp:63-70) which backs ``committed()``.
 
 The reference is Postgres-only (pqxx). Here any DB-API adapter works:
-``adapter='sqlite'`` (stdlib, used by tests) or ``adapter='postgres'``
-(psycopg2, gated on availability in the image).
+``adapter='sqlite'`` (stdlib) or ``adapter='postgres'`` — psycopg2 when the
+image has it, else the bundled pure-python wire driver (pgwire.py), which
+tests/test_sql_pgwire.py exercises against an in-process v3 wire server.
 """
 
 from __future__ import annotations
@@ -59,19 +60,24 @@ class SQLStorage(StorageBackend):
                                              check_same_thread=False)
                 self._conn.row_factory = sqlite3.Row
             elif self._config.adapter == "postgres":
+                # pure-python v3 wire driver (pgwire.py) — no libpq needed;
+                # psycopg2 is preferred when the image has it
                 try:
                     import psycopg2
-                    import psycopg2.extras
-                except ImportError as e:
-                    raise NotImplementedError(
-                        "adapter='postgres' requires psycopg2, which is not "
-                        "in this image; use adapter='sqlite'"
-                    ) from e
-                self._conn = psycopg2.connect(
-                    host=self._config.hostaddr, port=self._config.port,
-                    dbname=self._config.dbname, user=self._config.user,
-                    password=self._config.password or None,
-                )
+
+                    self._conn = psycopg2.connect(
+                        host=self._config.hostaddr, port=self._config.port,
+                        dbname=self._config.dbname, user=self._config.user,
+                        password=self._config.password or None,
+                    )
+                except ImportError:
+                    from . import pgwire
+
+                    self._conn = pgwire.connect(
+                        host=self._config.hostaddr, port=self._config.port,
+                        dbname=self._config.dbname, user=self._config.user,
+                        password=self._config.password,
+                    )
             else:
                 raise ValueError(f"unknown adapter {self._config.adapter!r}")
         return self._conn

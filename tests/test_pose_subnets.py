@@ -1,0 +1,117 @@
+"""OpenPose face/hand crop sub-networks (openpose_kernel.cpp:108-141
+parity): crop nets fill the 130-keypoint layout's face/hand slots.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from scannertools_tpu.models import pose as pose_lib
+from scannertools_tpu.models import porting_maps as pm
+from scannertools_tpu.ops.pose import (Pose, _extract_crop, _hand_box,
+                                       _write_back, openpose)
+
+
+def test_crop_mapping_total():
+    vf = jax.eval_shape(lambda: pose_lib.init_face_params(
+        jax.random.PRNGKey(0)))
+    vh = jax.eval_shape(lambda: pose_lib.init_hand_params(
+        jax.random.PRNGKey(0)))
+    m = pm.openpose_crop_mapping()
+    for v in (vf, vh):
+        unmapped, extra = pm.coverage_report(v, m)
+        assert not unmapped and not extra
+
+
+def test_crop_keypoints_decode():
+    v = pose_lib.init_hand_params(jax.random.PRNGKey(1))
+    crops = jnp.asarray(
+        np.random.RandomState(0).rand(2, 32, 32, 3).astype(np.float32) - 0.5)
+    kp = np.asarray(pose_lib.crop_keypoints(v, crops,
+                                            pose_lib.HAND_KEYPOINTS))
+    assert kp.shape == (2, 21, 3)
+    assert kp[..., 0].min() >= 0 and kp[..., 0].max() <= 1
+    assert kp[..., 1].min() >= 0 and kp[..., 1].max() <= 1
+
+
+def test_hand_box_geometry():
+    kp = np.zeros((Pose.kp_count(), 3), np.float32)
+    kp[Pose.RElbow] = (0.5, 0.5, 0.9)
+    kp[Pose.RWrist] = (0.5, 0.7, 0.9)
+    p = Pose(1.0, kp)
+    box = _hand_box(p, Pose.RWrist, Pose.RElbow)
+    assert box is not None
+    x0, y0, x1, y1, s = box
+    # centered past the wrist along the forearm (downward here)
+    assert (y0 + y1) / 2 > 0.7
+    assert abs((x0 + x1) / 2 - 0.5) < 1e-6
+    assert s == pytest.approx(0.9)
+    # low-confidence forearm -> no crop
+    kp[Pose.RElbow, 2] = 0.0
+    assert _hand_box(Pose(1.0, kp), Pose.RWrist, Pose.RElbow) is None
+
+
+def test_extract_crop_pads_gray_outside():
+    frame = np.full((40, 60, 3), 200.0, np.float32)
+    crop = _extract_crop(frame, (-0.5, -0.5, 0.5, 0.5), 16)
+    assert crop.shape == (16, 16, 3)
+    # top-left quadrant is outside the frame -> gray 128 -> ~0.0 after map
+    assert abs(crop[0, 0, 0] - (128 / 255 - 0.5)) < 1e-5
+    assert abs(crop[-1, -1, 0] - (200 / 255 - 0.5)) < 1e-5
+
+
+def test_write_back_maps_to_frame_coords():
+    kp_full = np.zeros((Pose.kp_count(), 3), np.float32)
+    crop_kp = np.array([[0.0, 0.0, 0.5], [1.0, 1.0, 0.8]], np.float32)
+    _write_back(kp_full, 5, 2, (0.2, 0.4, 0.6, 0.8), crop_kp)
+    np.testing.assert_allclose(kp_full[5], [0.2, 0.4, 0.5])
+    np.testing.assert_allclose(kp_full[6], [0.6, 0.8, 0.8])
+    assert not kp_full[4].any() and not kp_full[7].any()
+
+
+def test_openpose_op_fills_face_hand_slots(monkeypatch):
+    """Full op with compute_face/compute_hands on a synthetic person: the
+    face and both hand slots come back non-zero, the layout round-trips."""
+    kp = np.zeros((18, 3), np.float32)
+    kp[Pose.Nose] = (32, 10, 0.9)
+    kp[Pose.REye] = (28, 8, 0.9)
+    kp[Pose.LEye] = (36, 8, 0.9)
+    kp[Pose.REar] = (26, 9, 0.9)
+    kp[Pose.LEar] = (38, 9, 0.9)
+    kp[Pose.RElbow] = (20, 30, 0.9)
+    kp[Pose.RWrist] = (18, 40, 0.9)
+    kp[Pose.LElbow] = (44, 30, 0.9)
+    kp[Pose.LWrist] = (46, 40, 0.9)
+
+    monkeypatch.setattr(pose_lib, "group_people",
+                        lambda peaks, valid, scores: [(0.9, kp.copy())])
+    # stub the body net: this test exercises the crop sub-network
+    # integration, and compiling the 6-stage body net dominates runtime
+    from scannertools_tpu.ops.faces import _MODEL_CACHE
+
+    monkeypatch.setitem(_MODEL_CACHE, ("openpose", None), {})
+    monkeypatch.setitem(
+        _MODEL_CACHE, ("openpose_fn", 64, 64, 1, (1.0,)),
+        lambda v, a: (np.zeros((1, 18, pose_lib.MAX_PEAKS, 3), np.float32),
+                      np.zeros((1, 18, pose_lib.MAX_PEAKS), bool),
+                      np.zeros((1, 19, 1, 1), np.float32)))
+
+    frames = np.random.RandomState(3).randint(
+        0, 255, (1, 64, 64, 3), np.uint8)
+    poses_per_frame = openpose(None, list(frames), compute_face=True,
+                               compute_hands=True, crop_net_size=32)
+    (p,) = poses_per_frame[0]
+    face = p.face_keypoints()
+    lh, rh = p.hand_keypoints()
+    assert face.shape == (70, 3) and face[:, 2].max() != 0
+    assert lh.shape == (21, 3) and lh.any()
+    assert rh.shape == (21, 3) and rh.any()
+    # face keypoints live inside the (unclamped) face box
+    (fx0, fy0), (fx1, fy1), _ = p.face_bbox()
+    assert face[:, 0].min() >= fx0 - 1e-5 and face[:, 0].max() <= fx1 + 1e-5
+    assert face[:, 1].min() >= fy0 - 1e-5 and face[:, 1].max() <= fy1 + 1e-5
+    # serialization keeps the [score, 18|70|21|21 x3] layout
+    rt = Pose.deserialize(p.serialize())
+    np.testing.assert_allclose(rt.face_keypoints(), face)
