@@ -29,10 +29,10 @@ def main(path: str, mtcnn_weights=None, facenet_weights=None) -> None:
     out_e = st.NamedStream(sc, "demo_embs")
     out_g = st.NamedStream(sc, "demo_genders")
     pp = st.PerfParams.manual(work_packet_size=8)
-    sc.run(sc.io.Output(faces, [out_f]), pp, cache_mode=st.CacheMode.Overwrite)
-    sc.run(sc.io.Output(embs, [out_e]), pp, cache_mode=st.CacheMode.Overwrite)
-    sc.run(sc.io.Output(genders, [out_g]), pp,
-           cache_mode=st.CacheMode.Overwrite)
+    # one run, three sinked columns: the video decodes ONCE and the three
+    # nets share the frame chunks (vs. one run per output = 3x decode)
+    sc.run(sc.io.Output([faces, embs, genders], [(out_f, out_e, out_g)]),
+           pp, cache_mode=st.CacheMode.Overwrite)
 
     total = 0
     for i, (fl, el, gl) in enumerate(zip(out_f.load(), out_e.load(),

@@ -18,6 +18,8 @@ Reference parity:
 
 from __future__ import annotations
 
+import dataclasses
+import re
 from typing import Optional, Sequence
 
 import numpy as np
@@ -156,13 +158,14 @@ class TranscriptAligner:
             a = int(c.start / ws)
             b = int(np.ceil(c.end / ws))
             act_cap[max(a, 0):min(b, n_win)] = 1.0
-        max_lag = int(self.max_shift / ws)
+        max_lag = min(int(self.max_shift / ws), n_win - 1)
         best_lag, best_score = 0, -np.inf
         for lag in range(-max_lag, max_lag + 1):
             if lag >= 0:
                 score = float(np.dot(act_audio[lag:], act_cap[: n_win - lag]))
             else:
                 score = float(np.dot(act_audio[: n_win + lag], act_cap[-lag:]))
+            score -= 1e-6 * abs(lag)  # ties resolve to the smallest shift
             if score > best_score:
                 best_score, best_lag = score, lag
         return best_lag * ws
@@ -174,3 +177,103 @@ class TranscriptAligner:
         off = self.estimate_offset(samples, sample_rate, captions)
         return [dataclasses.replace(c, start=c.start + off, end=c.end + off)
                 for c in captions], off
+
+    # ------------------------------------------------ per-word alignment
+
+    FRAME_S = 0.05  # DP frame resolution (50 ms)
+
+    @staticmethod
+    def _syllables(word: str) -> int:
+        groups = re.findall(r"[aeiouyAEIOUY]+", word)
+        return max(1, len(groups))
+
+    def align_words(self, samples: np.ndarray, sample_rate: int, captions):
+        """Per-word timings — the reference's gentle role
+        (old/transcript_alignment.py:206-342 drives gentle's forced aligner
+        per sliding window and stores word-level (start, end)).
+
+        Self-contained equivalent: after the global offset, each caption
+        window's words are placed by a monotonic dynamic program over 50 ms
+        energy frames — word durations follow a syllable-count prior, and
+        boundaries are pulled toward energy dips (inter-word pauses), the
+        acoustic cue a lexicon-free aligner has. Returns a list of
+        ``WordAlignment(word, start, end, score)``; words in silent windows
+        get score 0 (gentle's not-found-in-audio analog).
+        """
+        off = self.estimate_offset(samples, sample_rate, captions)
+        fs = self.FRAME_S
+        per = max(1, int(fs * sample_rate))
+        n_fr = max(1, len(samples) // per)
+        seg = samples[: n_fr * per].reshape(n_fr, per)
+        energy = np.sqrt(np.mean(seg.astype(np.float64) ** 2, axis=1))
+        e_max = energy.max() or 1.0
+        energy = energy / e_max
+        speech_thresh = max(0.05, float(np.median(energy)) * 0.5)
+
+        out = []
+        for c in captions:
+            words = [w for w in re.split(r"\s+", c.line.strip()) if w]
+            if not words:
+                continue
+            a = int(round((c.start + off) / fs))
+            b = int(round((c.end + off) / fs))
+            a = max(0, min(a, n_fr - 1))
+            b = max(a + 1, min(b, n_fr))
+            win = energy[a:b]
+            F = len(win)
+            W = len(words)
+            if F < W:  # window too short for DP — spread uniformly
+                dur = (b - a) * fs / W
+                for j, w in enumerate(words):
+                    t0 = (a * fs) + j * dur
+                    out.append(WordAlignment(w, t0, t0 + dur, 0.0))
+                continue
+            syl = np.array([self._syllables(w) for w in words], np.float64)
+            prior = syl / syl.sum() * F  # frames per word
+            # dipness: how much of a local energy minimum each frame is
+            pad = np.pad(win, 1, mode="edge")
+            dip = np.maximum(0, (pad[:-2] + pad[2:]) / 2 - win)
+            # DP over word-end boundaries. cost[w][f] = best cost of
+            # placing words 0..w with word w ending at frame f.
+            big = 1e18
+            cost = np.full((W, F + 1), big)
+            back = np.zeros((W, F + 1), np.int32)
+            alpha, beta = 1.0, 4.0
+            bonus = beta * np.pad(dip, (0, 1))  # boundary-at-dip reward
+            prev = np.full(F + 1, big)
+            prev[0] = 0.0
+            for wi in range(W):
+                for f in range(wi + 1, F + 1):
+                    # candidate word starts f' in [wi, f)
+                    starts = np.arange(wi, f)
+                    cand = prev[wi:f] + alpha * np.abs(
+                        (f - starts) - prior[wi])
+                    k = int(np.argmin(cand))
+                    cost[wi, f] = cand[k] - bonus[f]
+                    back[wi, f] = wi + k
+                prev = cost[wi]
+            # backtrack from the forced final boundary F
+            bounds = [F]
+            f = F
+            for wi in range(W - 1, -1, -1):
+                f = int(back[wi, f])
+                bounds.append(f)
+            bounds = bounds[::-1]  # W+1 boundaries in frames, rel. to a
+            for j, w in enumerate(words):
+                f0, f1 = bounds[j], bounds[j + 1]
+                score = float(np.mean(win[f0:f1] > speech_thresh)) \
+                    if f1 > f0 else 0.0
+                out.append(WordAlignment(
+                    w, (a + f0) * fs, (a + max(f1, f0 + 1)) * fs, score))
+        return out
+
+
+@dataclasses.dataclass
+class WordAlignment:
+    """gentle-style word record (word, absolute start/end seconds, score =
+    fraction of the word interval that is speech-active)."""
+
+    word: str
+    start: float
+    end: float
+    score: float

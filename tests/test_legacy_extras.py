@@ -64,3 +64,51 @@ def test_transcript_aligner_recovers_offset():
     aligned, off = aligner.align(samples, rate, caps)
     assert abs(off - 4.0) <= 1.0, off
     assert abs(aligned[0].start - 5.0) <= 1.0
+
+
+def test_align_words_finds_word_boundaries():
+    """Per-word DP alignment (gentle-role parity): three noise 'words'
+    separated by silences inside one caption window must come back with
+    boundaries near the true silences and speech-active scores."""
+    from scannertools_tpu.ops.legacy_extras import TranscriptAligner
+    from scannertools_tpu.storage.captions import Caption
+
+    rate = 8000
+    rng = np.random.default_rng(1)
+    samples = np.zeros(10 * rate, np.float32)
+    # words at 1.0-2.0, 2.4-4.2, 4.6-5.2 (silence gaps 0.4s)
+    spans = [(1.0, 2.0), (2.4, 4.2), (4.6, 5.2)]
+    for a, b in spans:
+        samples[int(a * rate):int(b * rate)] = \
+            rng.normal(0, 0.5, int((b - a) * rate))
+    caps = [Caption(0, 1.0, 5.2, "one twotwo three")]
+    words = TranscriptAligner().align_words(samples, rate, caps)
+    assert [w.word for w in words] == ["one", "twotwo", "three"]
+    # monotonic, covering the window
+    assert words[0].start < words[0].end <= words[1].start < words[1].end \
+        <= words[2].start < words[2].end
+    # boundaries near the true silences (within 0.5s)
+    assert abs(words[0].end - 2.2) < 0.6
+    assert abs(words[1].end - 4.4) < 0.6
+    # every word overlaps real speech
+    assert all(w.score > 0.3 for w in words)
+
+
+def test_align_words_silent_window_scores_zero():
+    from scannertools_tpu.ops.legacy_extras import TranscriptAligner
+    from scannertools_tpu.storage.captions import Caption
+
+    rate = 8000
+    rng = np.random.default_rng(2)
+    samples = np.zeros(8 * rate, np.float32)
+    samples[: 2 * rate] = rng.normal(0, 0.5, 2 * rate)
+    # an anchored caption over the real speech pins the global offset at 0;
+    # the second caption sits over silence -> its words score ~0
+    caps = [Caption(0, 0.0, 2.0, "real speech here"),
+            Caption(1, 5.0, 7.0, "ghost words")]
+    words = TranscriptAligner().align_words(samples, rate, caps)
+    ghost = [w for w in words if w.word in ("ghost", "words")]
+    assert len(ghost) == 2
+    assert all(w.score < 0.2 for w in ghost)
+    real = [w for w in words if w.word in ("real", "speech", "here")]
+    assert all(w.score > 0.5 for w in real)
