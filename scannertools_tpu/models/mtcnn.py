@@ -155,6 +155,68 @@ def _calibrate(boxes: jnp.ndarray, reg: jnp.ndarray) -> jnp.ndarray:
     return boxes + reg * jnp.concatenate([w, h, w, h], axis=1)
 
 
+def pyramid_layout(h: int, w: int) -> List[Tuple[float, int, int, int]]:
+    """Static canvas layout for the fused pyramid: per level
+    (scale, hs, ws, y_offset). Offsets stay EVEN so every level's P-Net
+    cell grid (stride 2) aligns with the canvas grid, and levels are
+    separated by >= one full 12-px receptive field of zeros so no window
+    that we read spans two levels."""
+    layout = []
+    oy = 0
+    for s in pyramid_scales(h, w):
+        hs, ws = int(np.ceil(h * s)), int(np.ceil(w * s))
+        layout.append((s, hs, ws, oy))
+        oy += hs + (12 if hs % 2 == 0 else 13)
+    return layout
+
+
+def _stage1_fused(params, x: jnp.ndarray, H: int, W: int, t1: float):
+    """P-Net over ALL pyramid levels in ONE dispatch (ROADMAP #4): levels
+    are pasted into a single tall canvas and the fully-convolutional net
+    runs once — one large well-utilized conv instead of ~10 tiny ones.
+    Per-level cells are then sliced back off the shared grid (only cells
+    whose 12-px window lies fully inside their level, so values match the
+    per-level forward bit-for-bit; the per-level edge cells that SAME-pool
+    padding would fabricate are dropped)."""
+    layout = pyramid_layout(H, W)
+    if not layout:
+        return None
+    Hc = layout[-1][3] + layout[-1][1]
+    Wc = max(ws for _, _, ws, _ in layout)
+    canvas = jnp.zeros((Hc, Wc, 3), x.dtype)
+    for s, hs, ws, oy in layout:
+        xi = jax.image.resize(x, (hs, ws, 3), "linear", antialias=False)
+        canvas = jax.lax.dynamic_update_slice(canvas, xi, (oy, 0, 0))
+    prob, reg = PNet().apply({"params": params["pnet"]}, canvas[None])
+    prob, reg = prob[0], reg[0]  # [GH, GW], [GH, GW, 4]
+
+    all_boxes, all_scores = [], []
+    for s, hs, ws, oy in layout:
+        g0 = oy // 2
+        gh = (hs - 12) // 2 + 1
+        gw = (ws - 12) // 2 + 1
+        if gh <= 0 or gw <= 0:
+            continue
+        sub_p = prob[g0:g0 + gh, :gw]
+        sub_r = reg[g0:g0 + gh, :gw]
+        flat_p = sub_p.reshape(-1)
+        k = min(MAX_CELLS_PER_SCALE, flat_p.shape[0])
+        top_p, idx = jax.lax.top_k(flat_p, k)
+        gy = (idx // gw).astype(jnp.float32)
+        gx = (idx % gw).astype(jnp.float32)
+        # cell -> box in original coords (stride 2, cell 12)
+        b = jnp.stack([(gx * 2 + 1) / s, (gy * 2 + 1) / s,
+                       (gx * 2 + 12) / s, (gy * 2 + 12) / s], axis=1)
+        b = _calibrate(b, sub_r.reshape(-1, 4)[idx])
+        score = jnp.where(top_p > t1, top_p, 0.0)
+        bs, ss, vs = nms(b, score, 0.5, k)  # per-scale NMS 0.5
+        all_boxes.append(bs)
+        all_scores.append(jnp.where(vs, ss, 0.0))
+    if not all_boxes:
+        return None
+    return jnp.concatenate(all_boxes), jnp.concatenate(all_scores)
+
+
 def detect_single(params, img_f32: jnp.ndarray,
                   thresholds: Tuple[float, float, float] = THRESHOLDS):
     """img_f32: [H, W, 3] in [0,255] -> (boxes [MAX_FACES,4] pixel xyxy,
@@ -163,38 +225,14 @@ def detect_single(params, img_f32: jnp.ndarray,
     x = _normalize(img_f32)
     t1, t2, t3 = thresholds
 
-    # ---- stage 1: P-Net over the image pyramid -------------------------
-    all_boxes, all_scores = [], []
-    for scale in pyramid_scales(H, W):
-        hs, ws = int(np.ceil(H * scale)), int(np.ceil(W * scale))
-        xi = jax.image.resize(x, (hs, ws, 3), "linear", antialias=False)
-        prob, reg = PNet().apply({"params": params["pnet"]}, xi[None])
-        prob, reg = prob[0], reg[0]  # [gh,gw], [gh,gw,4]
-        gh, gw = prob.shape
-        flat_p = prob.reshape(-1)
-        k = min(MAX_CELLS_PER_SCALE, flat_p.shape[0])
-        top_p, idx = jax.lax.top_k(flat_p, k)
-        gy = (idx // gw).astype(jnp.float32)
-        gx = (idx % gw).astype(jnp.float32)
-        # cell -> box in original coords (stride 2, cell 12)
-        bx1 = (gx * 2 + 1) / scale
-        by1 = (gy * 2 + 1) / scale
-        bx2 = (gx * 2 + 12) / scale
-        by2 = (gy * 2 + 12) / scale
-        b = jnp.stack([bx1, by1, bx2, by2], axis=1)
-        r = reg.reshape(-1, 4)[idx]
-        b = _calibrate(b, r)
-        score = jnp.where(top_p > t1, top_p, 0.0)
-        bs, ss, vs = nms(b, score, 0.5, k)  # per-scale NMS 0.5
-        all_boxes.append(bs)
-        all_scores.append(jnp.where(vs, ss, 0.0))
-
-    if not all_boxes:
+    # ---- stage 1: P-Net, all pyramid levels in one fused dispatch ------
+    stage1 = _stage1_fused(params, x, H, W, t1)
+    if stage1 is None:
         z = jnp.zeros((MAX_FACES, 4))
         return z, jnp.zeros(MAX_FACES), jnp.zeros(MAX_FACES, bool)
+    all_boxes, all_scores = stage1
 
-    boxes = jnp.concatenate(all_boxes)
-    scores = jnp.concatenate(all_scores)
+    boxes, scores = all_boxes, all_scores
     boxes, scores = topk_boxes(boxes, scores, MAX_STAGE1)
     scores = jnp.where(jnp.isfinite(scores), scores, 0.0)
     boxes, scores, valid = nms(boxes, scores, 0.7, MAX_STAGE1)  # cross-scale

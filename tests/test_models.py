@@ -236,3 +236,43 @@ def test_ops_load_weights_from_npz(sc, ingested, tmp_path):
     import numpy as np
 
     assert all(np.allclose(flat_a[k], flat_b[k]) for k in flat_a)
+
+
+def test_fused_pyramid_pnet_matches_per_level():
+    """The fused-canvas stage 1 (one P-Net dispatch over all pyramid
+    levels) must reproduce the per-level P-Net maps on every cell whose
+    receptive field lies inside its level."""
+    import jax
+    import jax.numpy as jnp
+
+    from scannertools_tpu.models import mtcnn
+
+    params = mtcnn.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(5)
+    H, W = 96, 128
+    x = jnp.asarray(rng.random((H, W, 3)), jnp.float32) - 0.5
+
+    layout = mtcnn.pyramid_layout(H, W)
+    assert len(layout) >= 2
+    assert all(oy % 2 == 0 for _, _, _, oy in layout)
+
+    Hc = layout[-1][3] + layout[-1][1]
+    Wc = max(ws for _, _, ws, _ in layout)
+    canvas = jnp.zeros((Hc, Wc, 3), x.dtype)
+    levels = []
+    for s, hs, ws, oy in layout:
+        xi = jax.image.resize(x, (hs, ws, 3), "linear", antialias=False)
+        levels.append(xi)
+        canvas = jax.lax.dynamic_update_slice(canvas, xi, (oy, 0, 0))
+    probc, regc = mtcnn.PNet().apply({"params": params["pnet"]},
+                                     canvas[None])
+    for (s, hs, ws, oy), xi in zip(layout, levels):
+        prob, reg = mtcnn.PNet().apply({"params": params["pnet"]}, xi[None])
+        gh = (hs - 12) // 2 + 1
+        gw = (ws - 12) // 2 + 1
+        got_p = np.asarray(probc[0, oy // 2:oy // 2 + gh, :gw])
+        want_p = np.asarray(prob[0, :gh, :gw])
+        np.testing.assert_allclose(got_p, want_p, atol=1e-5)
+        got_r = np.asarray(regc[0, oy // 2:oy // 2 + gh, :gw])
+        np.testing.assert_allclose(got_r, np.asarray(reg[0, :gh, :gw]),
+                                   atol=1e-5)
