@@ -113,6 +113,26 @@ def decode_audio(path: str) -> Tuple[np.ndarray, int]:
     return samples, int(rate.value)
 
 
+def read_audio_window(path: str, start_sample: int,
+                      n_samples: int) -> Tuple[np.ndarray, int]:
+    """Sample-accurate windowed decode (reference audio_source.cpp:104-210:
+    seek to the window, decode forward, trim, zero-fill past EOF) ->
+    (mono float32 of exactly n_samples, rate). Avoids whole-file decode for
+    long streams."""
+    lib = _lib()
+    if lib is None:
+        raise RuntimeError("st_av native library unavailable")
+    out = np.zeros(n_samples, np.float32)
+    rate = ctypes.c_int()
+    got = lib.st_av_audio_read_window(
+        path.encode(), int(start_sample), int(n_samples),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.byref(rate))
+    if got < 0:
+        raise IOError(f"cannot decode audio window of {path}")
+    return out, int(rate.value)
+
+
 def encode_audio(path: str, samples: np.ndarray, rate: int) -> None:
     """Encode mono float32 samples; codec chosen by container extension
     (.m4a/.mp4 -> AAC, .ogg -> Vorbis, .wav -> PCM)."""

@@ -403,9 +403,12 @@ class Executor:
         # io_packet_size expresses how far ahead the host may read
         # (reference io packets); realized here as prefetch depth in chunks.
         # The staging ring needs depth+2 slots: `depth` queued + 1 parked in
-        # the queue handoff + 1 being decoded.
-        depth = max(perf.prefetch_depth,
-                    perf.io_packet_size // max(perf.work_packet_size, 1))
+        # the queue handoff + 1 being decoded. prefetch_depth=0 disables the
+        # decode thread entirely (strict single-thread alternation — faster
+        # on transports that serialize concurrent device access poorly).
+        depth = 0 if perf.prefetch_depth <= 0 else max(
+            perf.prefetch_depth,
+            perf.io_packet_size // max(perf.work_packet_size, 1))
 
         # Per-source decode state (multi-source graphs zip N inputs):
         # decoder + staging ring per video input, prefetch-upload decision
@@ -936,10 +939,16 @@ class _Prefetcher:
     north star; reference analog: io packets decoded ahead of kernel threads)."""
 
     def __init__(self, fn, starts: Sequence[int], depth: int = 2):
-        self._q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
         self._starts = list(starts)
         self._fn = fn
         self._stop = threading.Event()
+        self._thread = None
+        if depth <= 0:
+            # synchronous mode: decode inline on the consumer thread. On
+            # hosts where concurrent device access from two threads is
+            # slow (single-stream transports), strict alternation wins.
+            return
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
         self._thread = threading.Thread(target=self._work, daemon=True)
         self._thread.start()
 
@@ -954,6 +963,12 @@ class _Prefetcher:
             self._q.put(e)
 
     def __iter__(self):
+        if self._thread is None:  # synchronous mode
+            for a in self._starts:
+                if self._stop.is_set():
+                    return
+                yield self._fn(a)
+            return
         while True:
             item = self._q.get()
             if item is None:
@@ -970,6 +985,8 @@ class _Prefetcher:
         so a worker blocked in q.put() can finish its final put and see the
         stop flag."""
         self._stop.set()
+        if self._thread is None:
+            return
         while self._thread.is_alive():
             try:
                 while True:

@@ -357,6 +357,133 @@ int64_t st_av_audio_decode(const char* path, float** out, int* rate) {
 
 void st_av_free(void* p) { std::free(p); }
 
+// Windowed decode with sample-accurate seek: decode exactly
+// [start_sample, start_sample + n) of the mono downmix at native rate,
+// zero-filling past EOF — the reference Audio source's per-element read
+// (audio_source.cpp:104-210: av_seek_frame to the container timestamp,
+// decode forward, trim to the requested sample range, zero-fill at EOF).
+// Returns samples written (== n), or <0 on open/decode error.
+int64_t st_av_audio_read_window(const char* path, int64_t start_sample,
+                                int64_t n, float* out, int* rate_out) {
+  AVFormatContext* fmt = nullptr;
+  if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) return -1;
+  if (avformat_find_stream_info(fmt, nullptr) < 0) {
+    avformat_close_input(&fmt);
+    return -1;
+  }
+  const AVCodec* codec = nullptr;
+  int si = av_find_best_stream(fmt, AVMEDIA_TYPE_AUDIO, -1, -1, &codec, 0);
+  if (si < 0 || !codec) {
+    avformat_close_input(&fmt);
+    return -1;
+  }
+  AVStream* st = fmt->streams[si];
+  AVCodecContext* dec = avcodec_alloc_context3(codec);
+  avcodec_parameters_to_context(dec, st->codecpar);
+  if (avcodec_open2(dec, codec, nullptr) < 0) {
+    avcodec_free_context(&dec);
+    avformat_close_input(&fmt);
+    return -1;
+  }
+  int rate = dec->sample_rate;
+  *rate_out = rate;
+
+  int64_t base_pts = st->start_time == AV_NOPTS_VALUE ? 0 : st->start_time;
+
+  // seek BEFORE the window start and discard the pre-roll: a lossy
+  // decoder needs a few frames to rebuild its overlap-add state after a
+  // flush (the reference's junk-packet workaround, audio_source.cpp:
+  // 231-234, serves the same purpose). 8192 samples covers several AAC/
+  // MP3 frames; the trim below drops them. A window touching the stream
+  // head decodes from the fresh open instead (a backward seek to 0 can
+  // land before the edit list and skew the first frame's timestamps).
+  int64_t preroll = start_sample > 8192 ? 8192 : start_sample;
+  bool from_head = (start_sample - preroll) == 0;
+  if (!from_head) {
+    double t0 = (double)(start_sample - preroll) / rate;
+    int64_t ts = base_pts + (int64_t)(t0 / av_q2d(st->time_base));
+    av_seek_frame(fmt, si, ts, AVSEEK_FLAG_BACKWARD);
+    avcodec_flush_buffers(dec);
+  }
+
+  SwrContext* swr = nullptr;
+  AVChannelLayout mono = AV_CHANNEL_LAYOUT_MONO;
+  if (swr_alloc_set_opts2(&swr, &mono, AV_SAMPLE_FMT_FLT, rate,
+                          &dec->ch_layout, dec->sample_fmt, rate, 0,
+                          nullptr) < 0 ||
+      swr_init(swr) < 0) {
+    if (swr) swr_free(&swr);
+    avcodec_free_context(&dec);
+    avformat_close_input(&fmt);
+    return -1;
+  }
+
+  std::memset(out, 0, n * sizeof(float));
+  AVFrame* frame = av_frame_alloc();
+  AVPacket* pkt = av_packet_alloc();
+  float* tmp = (float*)std::malloc((8192 + 256) * sizeof(float));
+  bool draining = false;
+  int64_t pos = -1;  // absolute sample index of the next converted sample
+  int64_t written_end = start_sample;
+  while (written_end < start_sample + n) {
+    int r = avcodec_receive_frame(dec, frame);
+    if (r == AVERROR_EOF) break;
+    if (r == AVERROR(EAGAIN)) {
+      if (draining) break;
+      r = av_read_frame(fmt, pkt);
+      if (r == AVERROR_EOF) {
+        draining = true;
+        avcodec_send_packet(dec, nullptr);
+        continue;
+      }
+      if (r < 0) break;
+      if (pkt->stream_index != si) {
+        av_packet_unref(pkt);
+        continue;
+      }
+      avcodec_send_packet(dec, pkt);
+      av_packet_unref(pkt);
+      continue;
+    }
+    if (r < 0) break;
+    if (pos < 0) {
+      int64_t pts = frame->best_effort_timestamp;
+      pos = (from_head || pts == AV_NOPTS_VALUE)
+                ? 0
+                : (int64_t)((pts - base_pts) * av_q2d(st->time_base) *
+                                rate +
+                            0.5);
+      if (pos < 0) pos = 0;
+    }
+    int cap = frame->nb_samples + 256;
+    if (cap > 8192 + 256)
+      tmp = (float*)std::realloc(tmp, cap * sizeof(float));
+    uint8_t* dst[1] = {(uint8_t*)tmp};
+    int got = swr_convert(swr, dst, cap,
+                          (const uint8_t**)frame->extended_data,
+                          frame->nb_samples);
+    av_frame_unref(frame);
+    if (got <= 0) continue;
+    int64_t seg_start = pos;
+    pos += got;
+    // copy the overlap of [seg_start, seg_start+got) with the window
+    int64_t lo = seg_start > start_sample ? seg_start : start_sample;
+    int64_t hi = pos < start_sample + n ? pos : start_sample + n;
+    if (hi > lo) {
+      std::memcpy(out + (lo - start_sample), tmp + (lo - seg_start),
+                  (hi - lo) * sizeof(float));
+      written_end = hi;
+    }
+  }
+  std::free(tmp);
+  av_packet_free(&pkt);
+  av_frame_free(&frame);
+  swr_free(&swr);
+  avcodec_free_context(&dec);
+  avformat_close_input(&fmt);
+  return n;
+}
+
 // Encode mono float32 samples to a compressed audio file (codec inferred
 // from the container extension via libavformat defaults, e.g. .m4a -> aac,
 // .ogg -> vorbis). Used by tests to produce real compressed fixtures in a

@@ -99,6 +99,24 @@ class AudioStream(StoredStream):
         from .. import types as _types
 
         ser = _types.get_type("array_f32").serialize
+        if rows is not None:
+            rows = list(rows)
+        # sparse row requests on a cold cache use the native windowed
+        # decoder (sample-accurate seek, audio_source.cpp:104-210 parity;
+        # bit-exact vs the full decode) instead of decoding the whole file
+        if (rows is not None and len(rows) <= 8 and self._cache is None
+                and not self._path.lower().endswith(".wav")
+                and type(self).DECODER is _default_decoder):
+            from ..io import av
+
+            if av.available():
+                rate = self.sample_rate_probe()
+                per = int(self._frame_size * rate)
+                for i in rows:
+                    frame, _ = av.read_audio_window(
+                        self._path, int(i * self._frame_size * rate), per)
+                    yield ser(frame)
+                return
         samples, rate = self._decode()
         per = int(self._frame_size * rate)
         idxs = range(len(self)) if rows is None else rows
@@ -110,6 +128,13 @@ class AudioStream(StoredStream):
                     [frame, np.zeros(per - len(frame), np.float32)]
                 )
             yield ser(frame.astype(np.float32))
+
+    def sample_rate_probe(self) -> int:
+        """Rate without a full decode (1-sample windowed read)."""
+        from ..io import av
+
+        _, rate = av.read_audio_window(self._path, 0, 1)
+        return rate
 
     def storage(self) -> AudioStorage:
         return self._storage

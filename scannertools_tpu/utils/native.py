@@ -115,6 +115,10 @@ def _configure(name: str, lib: ctypes.CDLL) -> None:
             ctypes.c_char_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
             ctypes.POINTER(ctypes.c_int)]
         lib.st_av_free.argtypes = [ctypes.c_void_p]
+        lib.st_av_audio_read_window.restype = ctypes.c_int64
+        lib.st_av_audio_read_window.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int)]
         lib.st_av_audio_encode.restype = ctypes.c_int
         lib.st_av_audio_encode.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),

@@ -161,3 +161,46 @@ def test_audio_extract_segment(test_video, tmp_path):
     dec, r = av.decode_audio(seg.path())
     assert r == rate
     assert abs(len(dec) - rate) < rate * 0.2  # ~1s ± codec padding
+
+
+def test_windowed_decode_bit_exact(tmp_path):
+    """Sample-accurate windowed decode == the corresponding slice of the
+    whole-file decode at every position, incl. stream head and EOF
+    zero-fill (audio_source.cpp:104-210 seek semantics)."""
+    rate = 22050
+    t = np.arange(rate * 3) / rate
+    sig = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    path = str(tmp_path / "w.m4a")
+    av.encode_audio(path, sig, rate)
+    full, _ = av.decode_audio(path)
+    for start in (0, 777, rate, len(full) - 300):
+        win, r = av.read_audio_window(path, start, rate)
+        assert r == rate
+        ref = full[start:start + rate]
+        if len(ref) < rate:
+            ref = np.concatenate(
+                [ref, np.zeros(rate - len(ref), np.float32)])
+        np.testing.assert_array_equal(win, ref)
+
+
+def test_audio_stream_sparse_rows_use_windowed_decode(tmp_path):
+    """A small rows= request decodes only those windows (cold cache) and
+    matches the full-decode path bit-for-bit."""
+    from scannertools_tpu.storage.audio import AudioStream
+    from scannertools_tpu import types as st_types
+
+    rate = 22050
+    sig = (0.3 * np.sin(2 * np.pi * 330 * np.arange(rate * 3) / rate)
+           ).astype(np.float32)
+    path = str(tmp_path / "s.m4a")
+    av.encode_audio(path, sig, rate)
+    parse = st_types.get_type("array_f32").parse
+
+    sparse = AudioStream(path, frame_size=0.5)
+    got = [parse(b) for b in sparse.load_bytes(rows=[1, 3])]
+    assert sparse._cache is None  # windowed path: no full decode happened
+
+    dense = AudioStream(path, frame_size=0.5)
+    all_rows = [parse(b) for b in dense.load_bytes()]
+    np.testing.assert_array_equal(got[0], all_rows[1])
+    np.testing.assert_array_equal(got[1], all_rows[3])
