@@ -105,3 +105,22 @@ def test_profiler_trace_export(sc, ingested, tmp_path):
     assert "source:read" in names
     assert any(n.startswith("device:Histogram") for n in names)
     assert "profiler totals" in sc.summarize()
+
+
+def test_sink_worker_error_surfaces_before_commit(sc, ingested, tmp_path):
+    """Errors raised inside the async sink writer (serialization/IO off
+    the critical path) must fail the run — never silently commit. A
+    FilesStream with fewer paths than rows throws mid-write."""
+    import pytest
+
+    import scannertools_tpu as st
+    from scannertools_tpu.storage.files import FilesStream
+
+    frame = sc.io.Input([ingested])
+    g = sc.streams.Range(frame, [(0, 32)])
+    hist = sc.ops.Histogram(frame=g)
+    short = FilesStream([str(tmp_path / f"h{i}.bin") for i in range(8)])
+    with pytest.raises(IndexError, match="more elements than paths"):
+        sc.run(sc.io.Output(hist, [short]),
+               st.PerfParams.manual(work_packet_size=8),
+               cache_mode=st.CacheMode.Overwrite)
