@@ -8,14 +8,23 @@ TPU-native design: bin index is ``pixel >> 4``; input is the FrameChunk byte
 stream ``[T, rows, 128] uint8`` (see utils/framechunk.py — NHWC u8 would
 relayout catastrophically). Two implementations:
 
-  * ``_histogram_jnp_flat`` — broadcast-compare-reduce on the flat layout;
-    XLA fuses the one-hot compare into the reduction. Any backend.
+  * ``_histogram_jnp_flat`` — one-hot compare fused into the reduction
+    (any backend, incl. relayed TPUs where Mosaic is unavailable):
+    ~20 GB/s / ~22k fps at 480p measured honestly (scan-slope timing);
+    a byte-field-packed XLA variant was tried and lowers 3× slower.
   * ``_histogram_pallas`` — single-pass VMEM kernel, one HBM read per pixel
     byte. Packed-counter trick: the 48 (channel, bin) codes are counted
     4-at-a-time in the byte fields of int32 lanes (no scatter, which Mosaic
     lacks), unpacked into a [48, 128] per-lane accumulator with a single
-    RMW per tile, and lane-reduced once per frame. Measured ≈2.5 TB/s —
-    memory-bound, vs ≈2 GB/s for the naive formulation.
+    RMW per tile, and lane-reduced once per frame. Only used where Mosaic
+    actually runs (real TPU hosts; the axon relay can't — see
+    ``_pallas_available``).
+
+A measurement caveat that shaped this module: on the relayed backend,
+``block_until_ready`` returns at ENQUEUE, not completion — every early
+"TB/s" figure measured that way was fiction. Honest numbers come from the
+scan-slope harness in bench.py (K chained executions inside one jit,
+timed via a scalar readback; docs/PERF_NOTES.md §2).
 """
 
 from __future__ import annotations
@@ -50,7 +59,14 @@ def _flat_codes(flat: jnp.ndarray, npix: int, c: int):
 
 
 def _histogram_jnp_flat(flat: jnp.ndarray, npix: int, c: int = 3) -> jnp.ndarray:
-    """flat: [T, rows, 128] uint8 -> [T, c, 16] int32."""
+    """flat: [T, rows, 128] uint8 -> [T, c, 16] int32.
+
+    One-hot compare fused into the reduction. Empirically the fastest XLA
+    formulation on TPU for this op: a byte-field-packed variant (the
+    pallas kernel's trick in pure XLA) lowers ~3× SLOWER here — int32
+    shift/select chains beat 48 bool-compares only inside Mosaic, where
+    the accumulator lives in VMEM across grid steps.
+    """
     chan, valid = _flat_codes(flat, npix, c)
     b = (flat >> 4).astype(jnp.int32)  # [T,rows,128]
     code = jnp.where(valid, chan * BINS + b, c * BINS)  # invalid -> dead code
@@ -165,7 +181,15 @@ def _pallas_available() -> bool:
     device transport) leave it undecided so a later call retries."""
     global _PALLAS_OK
     if _PALLAS_OK is None:
+        import os
+
         if jax.default_backend() != "tpu":
+            _PALLAS_OK = False
+            return False
+        # a relayed TPU (axon tunnel) cannot run Mosaic and the probe can
+        # HANG rather than raise there — gate it off unless forced
+        if os.environ.get("PALLAS_AXON_POOL_IPS") and not \
+                os.environ.get("SCANNERTOOLS_TPU_PALLAS"):
             _PALLAS_OK = False
             return False
         try:

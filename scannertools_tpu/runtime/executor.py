@@ -592,6 +592,16 @@ class Executor:
 
     def _run_chunk(self, order, need, values, ctx, T, jit_cache, state,
                    ws_acc, ws_ids):
+        # who consumes each (node, output)? Segments return ONLY outputs
+        # consumed outside themselves — interior intermediates (e.g. raw
+        # flow fields feeding FlowHistogram) stay fused inside the XLA
+        # program and are never materialized as program outputs (a 15×
+        # e2e difference on transports that eagerly fetch jit outputs).
+        consumers: Dict[Tuple[int, int], set] = {}
+        for node in order:
+            for e in node.inputs.values():
+                consumers.setdefault((e.node.id, e.index), set()) \
+                    .add(node.id)
         # group maximal runs of device ops into fused segments
         i = 0
         n = len(order)
@@ -606,7 +616,8 @@ class Executor:
                         order[j].device == node.device:
                     seg.append(order[j])
                     j += 1
-                self._run_device_segment(seg, need, values, ctx, T, jit_cache)
+                self._run_device_segment(seg, need, values, ctx, T,
+                                         jit_cache, consumers)
                 i = j
                 continue
             self._run_host_node(node, need, values, ctx, T, state, ws_acc,
@@ -622,10 +633,21 @@ class Executor:
         return data
 
     def _run_device_segment(self, seg: List[OpNode], need, values, ctx, T,
-                            jit_cache):
+                            jit_cache, consumers):
         # T participates in the key: slice offsets inside the traced function
         # are python ints derived from T, so a shorter tail chunk must retrace.
         key = (tuple(n.id for n in seg), T)
+        seg_ids_set = {n.id for n in seg}
+        # outputs consumed outside the segment (by later ops, whole-stream
+        # accumulators, or the Output node's sink columns)
+        out_keys = [
+            (n.id, k) for n in seg for k in range(get_op(n.name).n_outputs)
+            if any(c not in seg_ids_set
+                   for c in consumers.get((n.id, k), ()))
+        ]
+        if not out_keys:  # degenerate graph: keep everything (safety)
+            out_keys = [(n.id, k) for n in seg
+                        for k in range(get_op(n.name).n_outputs)]
         forced = seg[0].device  # grouping guarantees uniformity
         cpu_dev = None
         if forced == "cpu":
@@ -679,6 +701,7 @@ class Executor:
                        for nm, e in node.inputs.items()))
                 for node in seg
             )
+            seg_pos = {n.id: i for i, n in enumerate(seg)}
             skey = (
                 struct,
                 tuple((lo, hi) for _, _, lo, hi in ext),
@@ -688,6 +711,7 @@ class Executor:
                 tuple(sorted(ctx.stream_meta.items())),
                 no_jit,
                 forced,
+                tuple((seg_pos[nid], k) for nid, k in out_keys),
             )
             if skey not in _SEGMENT_JIT_CACHE:
                 if len(_SEGMENT_JIT_CACHE) >= 256:  # runaway-shape backstop
@@ -695,12 +719,12 @@ class Executor:
                 seg_nodes = list(seg)
                 need_s = dict(need)
                 ext_meta = list(ext)
+                out_sel = list(out_keys)
 
                 def segment_fn(*arrays):
                     local: Dict[Tuple[int, int], _Value] = {}
                     for (nid, idx, lo, hi), arr in zip(ext_meta, arrays):
                         local[(nid, idx)] = _Value(arr, lo, hi, True)
-                    outs = []
                     for node in seg_nodes:
                         opdef = get_op(node.name)
                         n_lo, n_hi = need_s[node.id]
@@ -715,15 +739,15 @@ class Executor:
                             res = (res,)
                         for k, r in enumerate(res):
                             local[(node.id, k)] = _Value(r, n_lo, n_hi, True)
-                    for node in seg_nodes:
-                        for k in range(get_op(node.name).n_outputs):
-                            outs.append(local[(node.id, k)].data)
-                    return tuple(outs)
+                    # only externally-consumed outputs leave the program;
+                    # interior intermediates get DCE'd/fused by XLA
+                    return tuple(local[kk].data for kk in out_sel)
 
                 _SEGMENT_JIT_CACHE[skey] = (
                     segment_fn if no_jit else jax.jit(segment_fn))
-            jit_cache[key] = _SEGMENT_JIT_CACHE[skey]
+            jit_cache[key] = (_SEGMENT_JIT_CACHE[skey], list(out_keys))
 
+        fn, stored_keys = jit_cache[key]
         if cpu_dev is not None:
             # commit inputs to the CPU backend; jit follows committed
             # placement. Outputs come back as host numpy so a downstream
@@ -732,10 +756,10 @@ class Executor:
             arrays = [jax.device_put(a, cpu_dev) for a in arrays]
             with self.profiler.span(
                     "device:" + "+".join(n.name for n in seg) + "@cpu"):
-                outs = jit_cache[key](*arrays)
+                outs = fn(*arrays)
                 outs = jax.tree_util.tree_map(
                     lambda o: np.asarray(jax.device_get(o)), outs)
-            self._store_segment_outputs(seg, need, values, outs)
+            self._store_segment_outputs(stored_keys, need, values, outs)
             return
         if self._mesh is not None:
             # frames sharded over the data axis; GSPMD partitions the whole
@@ -756,23 +780,20 @@ class Executor:
             try:
                 with self.profiler.span(
                         "device:" + "+".join(n.name for n in seg)):
-                    outs = jit_cache[key](*arrays)
+                    outs = fn(*arrays)
             finally:
                 sharded_mode.reset(token)
                 current_mesh.reset(token_m)
-            self._store_segment_outputs(seg, need, values, outs)
+            self._store_segment_outputs(stored_keys, need, values, outs)
             return
         with self.profiler.span("device:" + "+".join(n.name for n in seg)):
-            outs = jit_cache[key](*arrays)
-        self._store_segment_outputs(seg, need, values, outs)
+            outs = fn(*arrays)
+        self._store_segment_outputs(stored_keys, need, values, outs)
 
-    def _store_segment_outputs(self, seg, need, values, outs):
-        k = 0
-        for node in seg:
-            n_lo, n_hi = need[node.id]
-            for oi in range(get_op(node.name).n_outputs):
-                values[(node.id, oi)] = _Value(outs[k], n_lo, n_hi, True)
-                k += 1
+    def _store_segment_outputs(self, out_keys, need, values, outs):
+        for (nid, oi), data in zip(out_keys, outs):
+            n_lo, n_hi = need[nid]
+            values[(nid, oi)] = _Value(data, n_lo, n_hi, True)
 
     def _run_host_node(self, node, need, values, ctx, T, state, ws_acc,
                        ws_ids):
