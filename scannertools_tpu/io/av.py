@@ -129,7 +129,12 @@ def read_audio_window(path: str, start_sample: int,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         ctypes.byref(rate))
     if got < 0:
-        raise IOError(f"cannot decode audio window of {path}")
+        # -(written+1) marks a mid-stream decode error (corrupt/truncated
+        # input) — distinct from legitimate EOF zero-fill, which returns n
+        reached = -got - 1
+        raise IOError(
+            f"audio decode error in {path}: stream failed "
+            f"{reached}/{n_samples} samples into the requested window")
     return out, int(rate.value)
 
 

@@ -42,11 +42,15 @@ class Audio:
         samples, rate = av.decode_audio(self._path)
         if segment is not None:
             s, e = segment
-            samples = samples[int(s * rate):int(e * rate)]
+            lo = max(0, min(len(samples), int(s * rate)))
+            hi = max(lo, min(len(samples), int(e * rate)))
+            samples = samples[lo:hi]
         if path is None:
             import tempfile
 
-            path = tempfile.mktemp(suffix=ext)
+            with tempfile.NamedTemporaryFile(
+                    delete=False, suffix=ext) as f:
+                path = f.name
         elif ext and not path.endswith(ext):
             path = path + ext
         av.encode_audio(path, samples, rate)

@@ -42,9 +42,11 @@ from .common import crop_and_resize, nms
 
 NUM_CLASSES = 81          # COCO 80 + background
 NUM_ROIS = 300            # py-faster-rcnn TEST.RPN_POST_NMS_TOP_N
-PRE_NMS = 1024            # static pre-NMS pool (TEST default 6000; 1024
-                          # keeps the sort/NMS cheap at matched recall on
-                          # the fixed 300 outputs)
+PRE_NMS = 2048            # static pre-NMS pool (TEST default 6000). 2048
+                          # retains 100% of the 6000-pool's top-300
+                          # post-NMS proposals under a trained-like score
+                          # distribution (1024 lost 14% — see
+                          # tests/test_faster_rcnn.py::test_pre_nms_pool_recall)
 RPN_NMS_THRESH = 0.7      # TEST.RPN_NMS_THRESH
 MIN_SIZE = 16.0           # TEST.RPN_MIN_SIZE
 STRIDE = 16               # VGG16 conv5_3 stride
@@ -95,6 +97,32 @@ def decode_deltas(anchors: jnp.ndarray, deltas: jnp.ndarray) -> jnp.ndarray:
                       cx + 0.5 * w - 1.0, cy + 0.5 * h - 1.0], axis=1)
 
 
+def propose_boxes(anchors, fg, deltas, H, W, pre_nms, num_rois):
+    """Static-shape RPN proposal layer for ONE frame: decode, clip,
+    min-size filter, top-``pre_nms`` pool, fixed-iteration NMS to exactly
+    ``num_rois`` outputs. Returns (boxes [num_rois,4], valid [num_rois]).
+
+    py-faster-rcnn TEST config semantics (faster_rcnn_kernel.cpp:6-25);
+    the recall of the truncated pre-NMS pool vs the reference's 6000 is
+    guarded by tests/test_faster_rcnn.py::test_pre_nms_pool_recall.
+    """
+    boxes = decode_deltas(anchors, deltas)
+    boxes = jnp.stack([
+        jnp.clip(boxes[:, 0], 0, W - 1),
+        jnp.clip(boxes[:, 1], 0, H - 1),
+        jnp.clip(boxes[:, 2], 0, W - 1),
+        jnp.clip(boxes[:, 3], 0, H - 1)], axis=1)
+    bw = boxes[:, 2] - boxes[:, 0] + 1
+    bh = boxes[:, 3] - boxes[:, 1] + 1
+    score = jnp.where((bw >= MIN_SIZE) & (bh >= MIN_SIZE), fg, -1.0)
+    k = min(pre_nms, score.shape[0])
+    top, idx = jax.lax.top_k(score, k)
+    cand = boxes[idx]
+    kb, ks, valid = nms(cand, top, RPN_NMS_THRESH, num_rois,
+                        score_thresh=0.0)
+    return kb, valid
+
+
 class VGG16(nn.Module):
     """conv1_1..conv5_3 (pool after blocks 1-4; conv5 keeps stride 16)."""
 
@@ -141,32 +169,17 @@ class FasterRCNN(nn.Module):
         fg = jax.nn.softmax(cls_logit, axis=2)[:, :, 1, :].reshape(n, -1)
         deltas = bbox_delta.reshape(n, fh * fw, 9, 4).reshape(n, -1, 4)
 
-        def propose(fg_n, deltas_n):
-            boxes = decode_deltas(anchors, deltas_n)
-            boxes = jnp.stack([
-                jnp.clip(boxes[:, 0], 0, W - 1),
-                jnp.clip(boxes[:, 1], 0, H - 1),
-                jnp.clip(boxes[:, 2], 0, W - 1),
-                jnp.clip(boxes[:, 3], 0, H - 1)], axis=1)
-            bw = boxes[:, 2] - boxes[:, 0] + 1
-            bh = boxes[:, 3] - boxes[:, 1] + 1
-            score = jnp.where((bw >= MIN_SIZE) & (bh >= MIN_SIZE), fg_n, -1.0)
-            k = min(self.pre_nms, score.shape[0])
-            top, idx = jax.lax.top_k(score, k)
-            cand = boxes[idx]
-            kb, ks, valid = nms(cand, top, RPN_NMS_THRESH, self.num_rois,
-                                score_thresh=0.0)
-            return kb, valid
+        boxes, valid = jax.vmap(
+            lambda fg_n, d_n: propose_boxes(anchors, fg_n, d_n, H, W,
+                                            self.pre_nms, self.num_rois)
+        )(fg, deltas)  # [N,R,4], [N,R]
 
-        boxes, valid = jax.vmap(propose)(fg, deltas)  # [N,R,4], [N,R]
-
-        # RoIAlign over conv5_3 (normalized box coords for crop_and_resize)
-        norm = jnp.stack([
-            boxes[..., 0] / (W - 1), boxes[..., 1] / (H - 1),
-            boxes[..., 2] / (W - 1), boxes[..., 3] / (H - 1)], axis=-1)
+        # RoIAlign over conv5_3. crop_and_resize takes pixel coords in the
+        # given image — here the stride-16 feature map, so divide the input-
+        # pixel rois by STRIDE (same convention as maskrcnn.py's props/4.0).
         pooled = jax.vmap(
             lambda f, b: crop_and_resize(f, b, (POOL, POOL))
-        )(feat, norm)  # [N, R, 7, 7, 512]
+        )(feat, boxes / STRIDE)  # [N, R, 7, 7, 512]
 
         flat = pooled.reshape(n, pooled.shape[1], -1)
         h6 = nn.relu(nn.Dense(4096, name="fc6")(flat))

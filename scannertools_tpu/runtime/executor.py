@@ -866,6 +866,11 @@ class Executor:
             # of recycled decode-ring slots; the async writer outlives the
             # chunk, so detach (device_get results are already fresh)
             data = data.copy()
+        elif was_host and isinstance(data, list):
+            # same hazard element-wise: a host op may return numpy views
+            # into ring slots inside a list column
+            data = [el.copy() if isinstance(el, np.ndarray) else el
+                    for el in data]
         ser = typeslib.get_type(self._column_type(edge)).serialize
 
         def emit():

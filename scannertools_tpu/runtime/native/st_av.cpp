@@ -423,6 +423,8 @@ int64_t st_av_audio_read_window(const char* path, int64_t start_sample,
   AVPacket* pkt = av_packet_alloc();
   float* tmp = (float*)std::malloc((8192 + 256) * sizeof(float));
   bool draining = false;
+  bool decode_error = false;  // genuine mid-stream failure, distinct from
+                              // EOF/draining (zero-fill is only legal there)
   int64_t pos = -1;  // absolute sample index of the next converted sample
   int64_t written_end = start_sample;
   while (written_end < start_sample + n) {
@@ -436,7 +438,7 @@ int64_t st_av_audio_read_window(const char* path, int64_t start_sample,
         avcodec_send_packet(dec, nullptr);
         continue;
       }
-      if (r < 0) break;
+      if (r < 0) { decode_error = true; break; }
       if (pkt->stream_index != si) {
         av_packet_unref(pkt);
         continue;
@@ -445,7 +447,7 @@ int64_t st_av_audio_read_window(const char* path, int64_t start_sample,
       av_packet_unref(pkt);
       continue;
     }
-    if (r < 0) break;
+    if (r < 0) { decode_error = true; break; }
     if (pos < 0) {
       int64_t pts = frame->best_effort_timestamp;
       pos = (from_head || pts == AV_NOPTS_VALUE)
@@ -481,6 +483,10 @@ int64_t st_av_audio_read_window(const char* path, int64_t start_sample,
   swr_free(&swr);
   avcodec_free_context(&dec);
   avformat_close_input(&fmt);
+  // A corrupt/truncated stream must be distinguishable from the legal
+  // EOF zero-fill: report how far real samples reached, as a negative
+  // offset marker (-(written+1) <= -1), so callers' got<0 check fires.
+  if (decode_error) return -(written_end - start_sample) - 1;
   return n;
 }
 

@@ -20,7 +20,9 @@ from __future__ import annotations
 import base64
 import hashlib
 import hmac
+import math
 import os
+import re
 import socket
 import struct
 from typing import Any, List, Optional, Sequence, Tuple
@@ -98,7 +100,13 @@ def quote_literal(v: Any) -> str:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, float)):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "'NaN'::float8"
+        if math.isinf(v):
+            return "'Infinity'::float8" if v > 0 else "'-Infinity'::float8"
+        return repr(v)
+    if isinstance(v, int):
         return repr(v)
     if isinstance(v, (bytes, bytearray, memoryview)):
         return r"'\x" + bytes(v).hex() + "'"
@@ -106,6 +114,61 @@ def quote_literal(v: Any) -> str:
     if "\\" in s:
         return " E'" + s.replace("\\", "\\\\") + "'"
     return "'" + s + "'"
+
+
+def _bind(sql: str, params: Sequence[Any]) -> str:
+    """Substitute %s placeholders OUTSIDE quoted regions with quoted params.
+
+    str.format-based binding broke on SQL containing literal braces
+    (postgres array/JSON literals like '{1,2}') and rewrote %s inside
+    string literals; this walks the statement tracking single-quoted
+    strings (with '' escapes), double-quoted identifiers, and
+    dollar-quoted blocks, and only substitutes in plain SQL text.
+    """
+    out: List[str] = []
+    vals = [quote_literal(p) for p in params]
+    vi = 0
+    i = 0
+    n = len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i:j + 1])
+            i = j + 1
+        elif c == '"':
+            j = sql.find('"', i + 1)
+            j = n - 1 if j < 0 else j
+            out.append(sql[i:j + 1])
+            i = j + 1
+        elif c == "$":
+            m = re.match(r"\$[A-Za-z_]*\$", sql[i:])
+            if m:
+                tag = m.group(0)
+                j = sql.find(tag, i + len(tag))
+                j = n if j < 0 else j + len(tag)
+                out.append(sql[i:j])
+                i = j
+            else:
+                out.append(c)
+                i += 1
+        elif c == "%" and i + 1 < n and sql[i + 1] == "s":
+            if vi >= len(vals):
+                raise PgError("not enough parameters for %s placeholders")
+            out.append(vals[vi])
+            vi += 1
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
 
 
 def _decode(oid: int, text: Optional[bytes]) -> Any:
@@ -135,8 +198,7 @@ class Cursor:
 
     def execute(self, sql: str, params: Sequence[Any] = ()) -> "Cursor":
         if params:
-            sql = sql.replace("%s", "{}").format(
-                *(quote_literal(p) for p in params))
+            sql = _bind(sql, params)
         self.description, self._rows, self.rowcount = self._conn._query(sql)
         self._pos = 0
         return self

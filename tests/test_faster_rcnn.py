@@ -153,3 +153,71 @@ def test_pipeline_chain(sc, ingested, monkeypatch):
 
     for k in [k for k in _MODEL_CACHE if "faster_rcnn" in str(k)]:
         _MODEL_CACHE.pop(k)
+
+
+def test_roi_features_vary_by_location(small_model):
+    """RoIAlign must pool feature-map pixels under each proposal, not a
+    corner patch: a structured input's proposals at distant locations must
+    yield materially different fc7 features. (Guards the coordinate
+    convention of crop_and_resize — pixel coords on the stride-16 map.)"""
+    m, v = small_model
+    x = np.zeros((1, 96, 96, 3), np.float32)
+    x[0, 8:40, 8:40] = 120.0    # bright blob, top-left
+    x[0, 56:90, 56:90] = -90.0  # dark blob, bottom-right
+    cls, rois, fc7 = jax.jit(m.apply)(v, jnp.asarray(x))
+    rois = np.asarray(rois[0])
+    fc7 = np.asarray(fc7[0])
+    valid = rois[:, 3] > rois[:, 1]
+    r, f = rois[valid], fc7[valid]
+    assert len(r) >= 2
+    cx = (r[:, 1] + r[:, 3]) / 2
+    cy = (r[:, 2] + r[:, 4]) / 2
+    d = np.hypot(cx[:, None] - cx[None], cy[:, None] - cy[None])
+    i, j = np.unravel_index(np.argmax(d), d.shape)
+    assert d[i, j] > 16  # genuinely different image locations
+    rel = np.linalg.norm(f[i] - f[j]) / (np.linalg.norm(f[i]) + 1e-6)
+    assert rel > 0.05
+
+
+def test_pre_nms_pool_recall():
+    """The static PRE_NMS pool must retain >=99% of the reference 6000-pool
+    top-300 post-NMS proposals (py-faster-rcnn TEST.RPN_PRE_NMS_TOP_N=6000,
+    faster_rcnn_kernel.cpp:6-25) under a trained-detector-like score
+    distribution: sharp peaks at object locations + background noise."""
+    fh, fw = 38, 50  # 608x800 input -> 12996+ anchors
+    anchors = fr.anchors_for(fh, fw)
+    A = anchors.shape[0]
+    H, W = fh * 16, fw * 16
+    rng = np.random.RandomState(0)
+
+    # ~40 objects: anchors near an object with matching size get logit
+    # boosts; everything else sits in a noise floor.
+    logits = rng.randn(A) * 1.0 - 4.0
+    acx = (anchors[:, 0] + anchors[:, 2]) / 2
+    acy = (anchors[:, 1] + anchors[:, 3]) / 2
+    asz = np.sqrt((anchors[:, 2] - anchors[:, 0]) *
+                  (anchors[:, 3] - anchors[:, 1]))
+    for _ in range(40):
+        ox, oy = rng.uniform(0, W), rng.uniform(0, H)
+        osz = np.exp(rng.uniform(np.log(40), np.log(300)))
+        prox = np.exp(-((acx - ox) ** 2 + (acy - oy) ** 2) / (2 * osz ** 2))
+        size_match = np.exp(-((np.log(asz / osz)) ** 2) / 0.5)
+        logits += 8.0 * prox * size_match
+    fg = 1.0 / (1.0 + np.exp(-logits))
+    deltas = (rng.randn(A, 4) * 0.1).astype(np.float32)
+
+    def run(pre_nms):
+        kb, valid = jax.jit(
+            lambda f, d: fr.propose_boxes(
+                jnp.asarray(anchors, jnp.float32), f, d, H, W,
+                pre_nms, 300))(jnp.asarray(fg, jnp.float32),
+                               jnp.asarray(deltas))
+        kb, valid = np.asarray(kb), np.asarray(valid)
+        return {tuple(np.round(b, 2)) for b in kb[valid]}
+
+    ref = run(6000)
+    got = run(fr.PRE_NMS)
+    recall = len(ref & got) / max(1, len(ref))
+    assert recall >= 0.99, (
+        f"static pre-NMS pool {fr.PRE_NMS} retains only {recall:.1%} of "
+        f"the 6000-pool top-300 post-NMS proposals — raise PRE_NMS")

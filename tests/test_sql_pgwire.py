@@ -284,3 +284,22 @@ def test_sql_streams_on_postgres(pg):
     assert out.committed()  # job recorded in the jobs table
     cur.execute("SELECT b FROM vid ORDER BY id")
     assert [r[0] for r in cur.fetchall()] == [1, 11, 21, 31, 41, 51]
+
+
+def test_bind_outside_quotes_only():
+    """%s binding must not disturb literal braces (postgres array/JSON
+    literals), %s inside quoted strings, or dollar-quoted blocks — the
+    failure modes of str.format-based substitution."""
+    from scannertools_tpu.storage.pgwire import _bind
+
+    assert _bind("INSERT INTO t VALUES ('{1,2}', %s)", [3]) == \
+        "INSERT INTO t VALUES ('{1,2}', 3)"
+    assert _bind("SELECT 'a%sb', %s", ["x'y"]) == "SELECT 'a%sb', 'x''y'"
+    assert _bind("SELECT $$100%s$$, %s", [1]) == "SELECT $$100%s$$, 1"
+    assert _bind('SELECT "col%s", %s', [2]) == 'SELECT "col%s", 2'
+
+
+def test_quote_literal_nonfinite_floats():
+    assert quote_literal(float("nan")) == "'NaN'::float8"
+    assert quote_literal(float("inf")) == "'Infinity'::float8"
+    assert quote_literal(float("-inf")) == "'-Infinity'::float8"
