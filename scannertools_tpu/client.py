@@ -26,7 +26,8 @@ class _OpFactory:
         self._name = name
 
     def __call__(self, **kwargs) -> Union[Node, NodeOutput]:
-        opdef = get_op(self._name)
+        from .registry import get_composite
+
         inputs: Dict[str, NodeOutput] = {}
         params: Dict[str, Any] = {}
         device = None
@@ -43,6 +44,12 @@ class _OpFactory:
                     device = "cpu"
             else:
                 params[k] = v
+        build = get_composite(self._name)
+        if build is not None:
+            # composite op: expands into a device-forward + host-decode
+            # sub-graph (registry.register_composite)
+            return build(inputs, params, device)
+        get_op(self._name)  # validate the name
         node = OpNode(self._name, inputs, params, device=device)
         return node
 
@@ -125,18 +132,22 @@ class Client:
         show_progress: bool = False,
         trace_dir: Optional[str] = None,
         job_distribution: str = "static",
+        claim_timeout_sec: float = 300.0,
         **_parity_kwargs,
     ):
         """Execute the graph. ``trace_dir`` wraps the run in a jax.profiler
         trace (device timeline; pair with profiler.write_trace for host
         spans — the reference's profiler().write_trace analog).
         ``job_distribution``: "static" per-host slices or "claims" for
-        elastic storage-backed work stealing (parallel/workqueue.py)."""
+        elastic storage-backed work stealing (parallel/workqueue.py);
+        ``claim_timeout_sec`` is the heartbeat age past which a dead host's
+        claims are reaped and its jobs re-run."""
         from .runtime.profiler import jax_trace
 
         with jax_trace(trace_dir):
             self._executor.run(output, perf_params, cache_mode,
-                               show_progress, job_distribution)
+                               show_progress, job_distribution,
+                               claim_timeout_sec)
 
     def table(self, name: str) -> "NamedStream":
         """Handle to a named stream (reference ``sc.table(name)``, used e.g.

@@ -2,11 +2,12 @@
 
 Reference parity: ``MaskRCNNDetectObjects`` (maskrcnn_detection.py:27-462)
 wraps a maskrcnn-benchmark checkpoint (X-101-32x8d-FPN by default,
-maskrcnn_detection.py:340-360): transform (resize-800, BGR255,
-mean-subtract), forward, confidence filter 0.5, mask paste with ×4
-downscale for storage. This module implements the architecture (He et al.
-2017: backbone+FPN, RPN, RoIAlign, box/mask heads) in flax with static
-shapes throughout, **checkpoint-compatibly**:
+maskrcnn_detection.py:340-360): transform (aspect-preserving min-side-800
+resize with max-side cap 1333, BGR255, mean-subtract, zero-pad to the
+stride canvas — see ``preprocess``), forward, confidence filter 0.5, mask
+paste with ×4 downscale for storage. This module implements the
+architecture (He et al. 2017: backbone+FPN, RPN, RoIAlign, box/mask heads)
+in flax with static shapes per stream geometry, **checkpoint-compatibly**:
 
   * backbone: real ResNet/ResNeXt bottleneck stages — R-50 = (3,4,6,3),
     X-101-32x8d = (3,4,23,3) with 32 groups × width 8 — frozen BatchNorm
@@ -37,7 +38,11 @@ import flax.linen as nn
 from .common import crop_and_resize, nms
 
 NUM_CLASSES = 81   # COCO + background
-INPUT_SIZE = 512   # static square input (reference: min-side 800 dynamic)
+MIN_SIZE = 800     # aspect-preserving min-side (maskrcnn_detection.py:27-30)
+MAX_SIZE = 1333    # maskrcnn-benchmark cap on the max side
+PAD_MULT = 32      # canvas padded to the backbone's stride multiple
+_INIT_SIZE = 64    # dummy spatial size for param init (params are
+                   # spatial-size-independent: convs + fixed-size RoI heads)
 PRE_NMS = 512
 POST_NMS = 64      # proposals kept per image
 MAX_DET = 32       # final detections per image
@@ -209,8 +214,7 @@ class MaskRCNNModel:
     def __init__(self, rng: jax.Array, arch: str = "R-50-FPN"):
         blocks, groups, wpg = ARCHS[arch]
         self.arch = arch
-        s = INPUT_SIZE
-        dummy = jnp.zeros((1, s, s, 3))
+        dummy = jnp.zeros((1, _INIT_SIZE, _INIT_SIZE, 3))
         self.trunk = MaskRCNN(blocks, groups, wpg)
         tv = self.trunk.init(rng, dummy)
         self.box_head = BoxHead()
@@ -220,27 +224,32 @@ class MaskRCNNModel:
         mv = self.mask_head.init(k2, jnp.zeros((1, 14, 14, 256)))
         self.variables = {"trunk": tv, "box": bv, "mask": mv}
         self._strides = [4, 8, 16, 32, 64]
-        self._anchors = [
-            jnp.asarray(_anchors_for((-(-s // st), -(-s // st)), st))
-            for st in self._strides
-        ]
 
     def infer(self, variables, images):
-        """images: [B, S, S, 3] BGR255 mean-subtracted ->
-        (boxes [B,MAX_DET,4] in input px, scores, labels, masks
-        [B,MAX_DET,28,28])."""
+        """images: [B, H, W, 3] BGR255 mean-subtracted (letterboxed canvas,
+        see ``preprocess``) -> (boxes [B,MAX_DET,4] in canvas px, scores,
+        labels, masks [B,MAX_DET,28,28]). Anchor grids are derived from the
+        canvas shape at trace time (one compile per stream geometry, like
+        every chunk program)."""
+        _, H, W, _ = images.shape
         fpn, rpn_out = self.trunk.apply(variables["trunk"], images)
+        anchors_per_level = [
+            jnp.asarray(_anchors_for((f.shape[1], f.shape[2]), st))
+            for f, st in zip(fpn, self._strides)
+        ]
+        clip_hi = jnp.asarray([W, H, W, H], jnp.float32)
+        diag = 2.0 * max(W, H)  # per-class NMS offset stride
 
         def per_image(b):
             # --- proposals from all levels
             all_scores, all_boxes = [], []
-            for (logits, deltas), anchors in zip(rpn_out, self._anchors):
+            for (logits, deltas), anchors in zip(rpn_out, anchors_per_level):
                 s = jax.nn.sigmoid(logits[b].reshape(-1))
                 d = deltas[b].reshape(-1, 4)
                 all_scores.append(s)
                 all_boxes.append(_apply_deltas(anchors, d))
             scores = jnp.concatenate(all_scores)
-            boxes = jnp.clip(jnp.concatenate(all_boxes), 0, INPUT_SIZE)
+            boxes = jnp.clip(jnp.concatenate(all_boxes), 0, clip_hi)
             top, idx = jax.lax.top_k(scores, PRE_NMS)
             props, pscores, _ = nms(boxes[idx], top, 0.7, POST_NMS)
 
@@ -255,9 +264,8 @@ class MaskRCNNModel:
             sel = jnp.take_along_axis(
                 bdeltas.reshape(-1, NUM_CLASSES, 4),
                 label[:, None, None].repeat(4, -1), axis=1)[:, 0]
-            refined = jnp.clip(_apply_deltas(props, sel), 0, INPUT_SIZE)
-            shifted = refined + label[:, None].astype(jnp.float32) \
-                * (INPUT_SIZE * 2.0)
+            refined = jnp.clip(_apply_deltas(props, sel), 0, clip_hi)
+            shifted = refined + label[:, None].astype(jnp.float32) * diag
             k = refined.shape[0]
             order = jnp.argsort(-best)
             rb, rs, rl = refined[order], best[order], label[order]
@@ -293,7 +301,7 @@ def init_shapes(arch: str = "X-101-32x8d-FPN"):
     """Shape-only variables tree (jax.eval_shape — no compute), for porting
     map totality checks on the big architectures."""
     blocks, groups, wpg = ARCHS[arch]
-    s = INPUT_SIZE
+    s = _INIT_SIZE
     trunk = MaskRCNN(blocks, groups, wpg)
     rng = jax.random.PRNGKey(0)
     tv = jax.eval_shape(trunk.init, rng, jnp.zeros((1, s, s, 3)))
@@ -302,11 +310,35 @@ def init_shapes(arch: str = "X-101-32x8d-FPN"):
     return {"trunk": tv, "box": bv, "mask": mv}
 
 
-def preprocess(frames_f32_rgb: jnp.ndarray) -> jnp.ndarray:
-    """RGB [0,255] -> square INPUT_SIZE BGR255 mean-subtracted
-    (maskrcnn_detection.py transform semantics, static-square variant)."""
-    t = frames_f32_rgb.shape[0]
-    x = jax.image.resize(frames_f32_rgb, (t, INPUT_SIZE, INPUT_SIZE, 3),
-                         "linear", antialias=False)
+def letterbox_geometry(h: int, w: int, min_size: int = MIN_SIZE,
+                       max_size: int = MAX_SIZE):
+    """The reference transform's sizing math (maskrcnn_detection.py:27-30 /
+    maskrcnn-benchmark Resize.get_size): scale the MIN side to ``min_size``
+    unless that pushes the max side past ``max_size``. All static ints per
+    (h, w) — the canvas rounds the target up to the backbone stride.
+    Returns (scale, (target_h, target_w), (canvas_h, canvas_w))."""
+    s = min_size / min(h, w)
+    if s * max(h, w) > max_size:
+        s = max_size / max(h, w)
+    th, tw = int(round(h * s)), int(round(w * s))
+    ch = -(-th // PAD_MULT) * PAD_MULT
+    cw = -(-tw // PAD_MULT) * PAD_MULT
+    return s, (th, tw), (ch, cw)
+
+
+def preprocess(frames_f32_rgb: jnp.ndarray, min_size: int = MIN_SIZE,
+               max_size: int = MAX_SIZE):
+    """RGB [0,255] -> aspect-preserving letterboxed BGR255 mean-subtracted
+    canvas (maskrcnn_detection.py:27-30 semantics: min-side-``min_size``
+    resize, max-side cap, zero-pad to the stride-multiple canvas — the
+    benchmark's to_image_list padding). Returns (images [T,CH,CW,3], scale);
+    content occupies the top-left (th, tw) region."""
+    t, h, w, _ = frames_f32_rgb.shape
+    s, (th, tw), (ch, cw) = letterbox_geometry(int(h), int(w),
+                                               min_size, max_size)
+    x = jax.image.resize(frames_f32_rgb, (t, th, tw, 3), "linear",
+                         antialias=False)
     x = x[..., ::-1]  # RGB -> BGR
-    return x - jnp.asarray(PIXEL_MEAN)
+    x = x - jnp.asarray(PIXEL_MEAN)
+    x = jnp.pad(x, ((0, 0), (0, ch - th), (0, cw - tw), (0, 0)))
+    return x, s

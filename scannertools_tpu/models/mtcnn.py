@@ -261,9 +261,32 @@ def detect_single(params, img_f32: jnp.ndarray,
     return boxes3, s3, valid3
 
 
-def detect_batch(params, frames_f32: jnp.ndarray):
+def detect_batch(params, frames_f32: jnp.ndarray,
+                 thresholds: Tuple[float, float, float] = THRESHOLDS):
     """frames: [T, H, W, 3] f32 -> (boxes [T,MAX_FACES,4], scores, valid)."""
-    return jax.vmap(functools.partial(detect_single, params))(frames_f32)
+    return jax.vmap(
+        lambda f: detect_single(params, f, thresholds))(frames_f32)
+
+
+def margins_normalize_device(boxes: jnp.ndarray, scores: jnp.ndarray,
+                             valid: jnp.ndarray, h: int, w: int):
+    """Device twin of ``apply_margins_and_normalize`` (face_detection.py:
+    50-64): margin expansion with int-truncated pixel margins (trunc ≡
+    python int()), clamp to the frame, normalize by frame dims, and fold the
+    score>=0.1 filter into the validity mask. boxes: [K,4] pixel xyxy ->
+    (nboxes [K,4] normalized, scores [K], valid [K])."""
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    vmargin = jnp.trunc((x2 - x1) * VMARGIN)  # reference uses det[2]-det[0]
+    hmargin = jnp.trunc((y2 - y1) * HMARGIN)  # and det[3]-det[1]
+    nb = jnp.stack([
+        jnp.maximum(x1 - hmargin / 2, 0) / w,
+        jnp.maximum(y1 - vmargin / 2, 0) / h,
+        jnp.minimum(x2 + hmargin / 2, w) / w,
+        jnp.minimum(y2 + vmargin / 2, h) / h,
+    ], axis=1)
+    ok = valid & (scores >= 0.1)
+    return (jnp.where(ok[:, None], nb, 0.0),
+            jnp.where(ok, scores, 0.0), ok)
 
 
 def apply_margins_and_normalize(boxes: np.ndarray, scores: np.ndarray,

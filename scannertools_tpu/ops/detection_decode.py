@@ -132,6 +132,20 @@ def faster_rcnn_output(ctx, cls_prob, rois, fc7,
     return out_boxes, out_feats
 
 
+def load_face_templates(path: str, n: int = 25) -> np.ndarray:
+    """Parse the reference's BINARY template file
+    (facenet_output_kernel_cpu.cpp:20-30): 25 templates × 4 little-endian
+    float32 read in order — the artifact shipped next to the facenet
+    caffemodel. Returns [n, 4] float32."""
+    with open(path, "rb") as f:
+        raw = f.read(n * 4 * 4)
+    if len(raw) < n * 4 * 4:
+        raise ValueError(
+            f"template file {path!r} truncated: need {n * 4 * 4} bytes "
+            f"({n} templates x 4 f32), got {len(raw)}")
+    return np.frombuffer(raw, "<f4").reshape(n, 4).copy()
+
+
 def default_face_templates(n: int = 25) -> np.ndarray:
     """[n, 4] (w, h) anchor templates spanning face scales/aspects — the
     reference loads these from a binary file next to the caffemodel
@@ -146,11 +160,17 @@ def default_face_templates(n: int = 25) -> np.ndarray:
 
 @register_op("FacenetOutput", kind="host", outputs=("bboxes",))
 def facenet_output(ctx, scores, frame_info, templates=None,
+                   templates_path: str = "",
                    score_threshold: float = 0.5,
                    nms_threshold: float = 0.1, scale: float = 1.0):
     """scores: per-frame [gh, gw, 25 + 100] f32 maps — per-template logit
     confidences then (dcx, dcy, dcw, dch) adjustments; frame_info: original
-    frame dims (InfoFromFrame column) for rescaling."""
+    frame dims (InfoFromFrame column) for rescaling. ``templates_path``
+    points at the reference's binary template artifact (the FacenetArgs
+    templates_path, facenet_output_kernel_cpu.cpp:20-30); ``templates``
+    passes a pre-parsed [25,4] array directly."""
+    if templates is None and templates_path:
+        templates = load_face_templates(templates_path)
     tpl = np.asarray(templates if templates is not None
                      else default_face_templates(), np.float32)
     n_t = tpl.shape[0]

@@ -5,11 +5,20 @@ normalized BoundingBox output), face_embedding.py:10-89 (crop → 160×160 →
 prewhiten → FaceNet → 128-d; zero vector for degenerate crops),
 gender_detection.py:10-29 (crop → rude-carnie gender labels).
 
-Structure: host ops that drive jitted device programs — the cascade/
-backbone math runs on TPU over the whole chunk; per-frame variable-length
-box lists are assembled on the host. Model parameters come from
-``weights_path`` (npz via models/weights.py) or deterministic random init
-(no-egress environment; see models/weights.py docstring).
+TPU-native structure: each user-facing op is a *composite* that expands into
+a device-kind forward (fixed-shape padded box/embedding arrays; fuses with
+adjacent device ops and shards over the mesh like every other device op —
+the reference contract that all kernels live inside the engine's placement
+regime, caffe_kernel_cpu.cpp:10-13) plus a thin host decode that wraps the
+padded arrays into per-frame proto/array lists. Model parameters enter the
+jitted segments as real arguments via ``OpDef.aux`` (loaded from
+``weights_path`` npz or deterministic random init; models/weights.py).
+
+When ``EmbedFaces``/``DetectGender`` receive their ``bboxes`` from
+``MTCNNDetectFaces``, the composite rewires the *device* box arrays straight
+from the MTCNN forward — frames and boxes never leave HBM between the
+detectors and the crop nets. Any other bbox source goes through the
+``BboxesToPadded`` host adapter.
 """
 
 from __future__ import annotations
@@ -22,14 +31,18 @@ import jax
 import jax.numpy as jnp
 
 from .. import protobufs
+from ..graph import NodeOutput, OpNode
 from ..models import facenet as facenet_lib
 from ..models import gender as gender_lib
 from ..models import mtcnn as mtcnn_lib
 from ..models import weights as weights_lib
-from ..registry import register_op
-from ..utils.framechunk import FrameChunk
+from ..models.common import crop_and_resize
+from ..registry import register_composite, register_op
+from ..utils.framechunk import FrameChunk, as_hwc_f32
 
 _MODEL_CACHE: Dict[Any, Any] = {}
+
+MAX_FACES = mtcnn_lib.MAX_FACES
 
 
 def _get_params(model: str, weights_path: Optional[str], init_fn):
@@ -48,111 +61,179 @@ def _to_f32_frames(frames) -> np.ndarray:
     return np.asarray(frames).astype(np.float32)
 
 
-@register_op("MTCNNDetectFaces", kind="host", outputs=("bboxes",))
-def mtcnn_detect_faces(ctx, frame, weights_path: Optional[str] = None,
-                       thresholds=mtcnn_lib.THRESHOLDS):
-    params = _get_params("mtcnn", weights_path, mtcnn_lib.init_params)
-    frames = _to_f32_frames(frame)
-    t, h, w, _ = frames.shape
-    key = ("mtcnn_fn", h, w)
-    if key not in _MODEL_CACHE:
-        _MODEL_CACHE[key] = jax.jit(mtcnn_lib.detect_batch)
-    boxes, scores, valid = _MODEL_CACHE[key](params, jnp.asarray(frames))
-    boxes = np.asarray(boxes)
-    scores = np.asarray(scores)
-    valid = np.asarray(valid)
+# --------------------------------------------------------------- MTCNN
 
+def _mtcnn_aux(ctx, params):
+    return _get_params("mtcnn", params.get("weights_path"),
+                       mtcnn_lib.init_params)
+
+
+@register_op("MTCNNForward", kind="device", aux=_mtcnn_aux,
+             outputs=("array_f32", "array_f32", "array_i32"))
+def mtcnn_forward(ctx, aux, frame, weights_path: Optional[str] = None,
+                  thresholds=mtcnn_lib.THRESHOLDS):
+    """Full MTCNN cascade on device: [T,H,W,3] frames -> margin-expanded
+    normalized boxes [T,MAX_FACES,4], scores [T,MAX_FACES], valid mask
+    (validity already folds the reference's score>=0.1 filter)."""
+    x = as_hwc_f32(frame)
+    _, h, w, _ = x.shape
+    boxes, scores, valid = mtcnn_lib.detect_batch(aux, x, tuple(thresholds))
+    return jax.vmap(
+        lambda b, s, v: mtcnn_lib.margins_normalize_device(b, s, v, h, w)
+    )(boxes, scores, valid)
+
+
+@register_op("MTCNNDecode", kind="host", outputs=("bboxes",))
+def mtcnn_decode(ctx, nboxes, scores, valid):
+    """Padded device arrays -> per-frame BoundingBox proto lists
+    (face_detection.py:53-64 output contract)."""
     out: List[List[protobufs.BoundingBox]] = []
-    for i in range(t):
-        faces = mtcnn_lib.apply_margins_and_normalize(
-            boxes[i], scores[i], valid[i], h, w
-        )
+    for nb, s, v in zip(nboxes, scores, valid):
         out.append([
-            protobufs.BoundingBox(x1=f[0], y1=f[1], x2=f[2], y2=f[3],
-                                  score=f[4])
-            for f in faces
+            protobufs.BoundingBox(x1=float(b[0]), y1=float(b[1]),
+                                  x2=float(b[2]), y2=float(b[3]),
+                                  score=float(sc))
+            for b, sc, vv in zip(nb, s, v) if vv
         ])
     return out
 
 
-def _crop_resize_host(frame: np.ndarray, bbox, out_size: int) -> Optional[np.ndarray]:
+@register_composite("MTCNNDetectFaces")
+def _build_mtcnn(inputs, params, device):
+    fwd = OpNode("MTCNNForward", dict(inputs), dict(params), device=device)
+    return OpNode("MTCNNDecode", {
+        "nboxes": NodeOutput(fwd, 0),
+        "scores": NodeOutput(fwd, 1),
+        "valid": NodeOutput(fwd, 2),
+    }, {})
+
+
+# ------------------------------------------------- bbox adapter (fallback)
+
+@register_op("BboxesToPadded", kind="host",
+             outputs=("array_f32", "array_i32"))
+def bboxes_to_padded(ctx, bboxes, max_boxes: int = MAX_FACES):
+    """Per-frame BoundingBox proto lists -> padded device arrays
+    (nboxes [T,K,4], valid [T,K]) for crop-net forwards whose boxes did not
+    come from an in-graph detector."""
+    t = len(bboxes)
+    nb = np.zeros((t, max_boxes, 4), np.float32)
+    v = np.zeros((t, max_boxes), bool)
+    for i, lst in enumerate(bboxes):
+        for j, b in enumerate(lst[:max_boxes]):
+            nb[i, j] = (b.x1, b.y1, b.x2, b.y2)
+            v[i, j] = True
+    return nb, v
+
+
+def _device_boxes(bb: NodeOutput):
+    """Rewire to the MTCNN forward's device arrays when ``bboxes`` comes from
+    MTCNNDetectFaces; otherwise adapt host protos to padded arrays."""
+    if isinstance(bb.node, OpNode) and bb.node.name == "MTCNNDecode":
+        return bb.node.inputs["nboxes"], bb.node.inputs["valid"]
+    conv = OpNode("BboxesToPadded", {"bboxes": bb}, {"max_boxes": MAX_FACES})
+    return NodeOutput(conv, 0), NodeOutput(conv, 1)
+
+
+def _crop_px_boxes(nb: jnp.ndarray, h: int, w: int):
     """Reference crop semantics (face_embedding.py:64-72): int-truncated
-    normalized coords, cv2 resize; None for degenerate crops."""
-    import cv2
-
-    h, w = frame.shape[:2]
-    crop = frame[int(bbox.y1 * h):int(bbox.y2 * h),
-                 int(bbox.x1 * w):int(bbox.x2 * w)]
-    if crop.shape[0] == 0 or crop.shape[1] == 0:
-        return None
-    return cv2.resize(crop, (out_size, out_size))
+    pixel corners; degenerate when the truncated span is empty."""
+    x1 = jnp.trunc(nb[:, 0] * w)
+    y1 = jnp.trunc(nb[:, 1] * h)
+    x2 = jnp.trunc(nb[:, 2] * w)
+    y2 = jnp.trunc(nb[:, 3] * h)
+    ok = (x2 > x1) & (y2 > y1)
+    return jnp.stack([x1, y1, x2, y2], axis=1), ok
 
 
-def _pad_batch(crops: List[np.ndarray], size: int, mult: int = 8) -> np.ndarray:
-    n = max(mult, -(-len(crops) // mult) * mult)
-    out = np.zeros((n, size, size, 3), np.float32)
-    for i, c in enumerate(crops):
-        out[i] = c
+# --------------------------------------------------------------- EmbedFaces
+
+def _facenet_aux(ctx, params):
+    return _get_params("facenet", params.get("weights_path"),
+                       facenet_lib.init_params)
+
+
+@register_op("FaceEmbedForward", kind="device", aux=_facenet_aux,
+             outputs=("array_f32", "array_i32"))
+def face_embed_forward(ctx, aux, frame, nboxes, valid,
+                       weights_path: Optional[str] = None,
+                       minibatch: int = 5):
+    """Crop + 160x160 resize + prewhiten + FaceNet on device:
+    -> (embs [T,MAX_FACES,128], valid [T,MAX_FACES]). Degenerate crops emit
+    the reference's zero vector (face_embedding.py:70). ``minibatch`` is
+    accepted for API parity; the whole padded chunk is one batch here."""
+    x = as_hwc_f32(frame)
+    _, h, w, _ = x.shape
+
+    def per_frame(img, nb, v):
+        px, ok = _crop_px_boxes(nb, h, w)
+        crops = crop_and_resize(img, px, (160, 160))
+        embs = facenet_lib.embed(aux, crops)
+        return jnp.where((v & ok)[:, None], embs, 0.0), v
+
+    return jax.vmap(per_frame)(x, nboxes, valid)
+
+
+@register_op("EmbedDecode", kind="host", outputs=("facenet_embeddings",))
+def embed_decode(ctx, embs, valid):
+    out = []
+    for E, V in zip(embs, valid):
+        rows = [e for e, v in zip(E, V) if v]
+        out.append(np.stack(rows).astype(np.float32) if rows
+                   else np.zeros((0, 128), np.float32))
     return out
 
 
-@register_op("EmbedFaces", kind="host", outputs=("facenet_embeddings",))
-def embed_faces(ctx, frame, bboxes, weights_path: Optional[str] = None,
-                minibatch: int = 5):
-    variables = _get_params("facenet", weights_path, facenet_lib.init_params)
-    frames = _to_f32_frames(frame)
-    t = frames.shape[0]
+@register_composite("EmbedFaces")
+def _build_embed(inputs, params, device):
+    nboxes, valid = _device_boxes(inputs["bboxes"])
+    fwd = OpNode("FaceEmbedForward",
+                 {"frame": inputs["frame"], "nboxes": nboxes, "valid": valid},
+                 dict(params), device=device)
+    return OpNode("EmbedDecode", {"embs": NodeOutput(fwd, 0),
+                                  "valid": NodeOutput(fwd, 1)}, {})
 
-    crops, src = [], []
-    out_embs: List[List[Optional[np.ndarray]]] = [
-        [None] * len(bboxes[i]) for i in range(t)
-    ]
-    for i in range(t):
-        for j, bbox in enumerate(bboxes[i]):
-            c = _crop_resize_host(frames[i], bbox, 160)
-            if c is None:
-                out_embs[i][j] = np.zeros(128, np.float32)  # face_embedding.py:70
-            else:
-                crops.append(c)
-                src.append((i, j))
 
-    if crops:
-        if "facenet_fn" not in _MODEL_CACHE:
-            _MODEL_CACHE["facenet_fn"] = jax.jit(facenet_lib.embed)
-        batch = _pad_batch(crops, 160)
-        embs = np.asarray(_MODEL_CACHE["facenet_fn"](variables,
-                                                     jnp.asarray(batch)))
-        for e, (i, j) in zip(embs, src):
-            out_embs[i][j] = e
+# ------------------------------------------------------------- DetectGender
 
+def _gender_aux(ctx, params):
+    return _get_params("gender", params.get("weights_path"),
+                       gender_lib.init_params)
+
+
+@register_op("GenderForward", kind="device", aux=_gender_aux,
+             outputs=("array_i32", "array_i32"))
+def gender_forward(ctx, aux, frame, nboxes, valid,
+                   weights_path: Optional[str] = None):
+    """Crop + 227x227 resize + Levi–Hassner on device -> (labels
+    [T,MAX_FACES] int32, valid). Degenerate crops label 0 ('M'), matching
+    the host path's LABELS[0] fallback."""
+    x = as_hwc_f32(frame)
+    _, h, w, _ = x.shape
+
+    def per_frame(img, nb, v):
+        px, ok = _crop_px_boxes(nb, h, w)
+        crops = crop_and_resize(img, px, (gender_lib.INPUT_SIZE,
+                                          gender_lib.INPUT_SIZE))
+        labels = gender_lib.classify(aux, crops)
+        return jnp.where(v & ok, labels, 0).astype(jnp.int32), v
+
+    return jax.vmap(per_frame)(x, nboxes, valid)
+
+
+@register_op("GenderDecode", kind="host", outputs=("object",))
+def gender_decode(ctx, labels, valid):
     return [
-        np.stack(l) if l else np.zeros((0, 128), np.float32)
-        for l in out_embs
+        [gender_lib.LABELS[int(l)] for l, v in zip(L, V) if v]
+        for L, V in zip(labels, valid)
     ]
 
 
-@register_op("DetectGender", kind="host", outputs=("object",))
-def detect_gender(ctx, frame, bboxes, weights_path: Optional[str] = None):
-    variables = _get_params("gender", weights_path, gender_lib.init_params)
-    frames = _to_f32_frames(frame)
-    t = frames.shape[0]
-
-    crops, src = [], []
-    out: List[List[str]] = [[None] * len(bboxes[i]) for i in range(t)]
-    for i in range(t):
-        for j, bbox in enumerate(bboxes[i]):
-            c = _crop_resize_host(frames[i], bbox, gender_lib.INPUT_SIZE)
-            if c is None:
-                out[i][j] = gender_lib.LABELS[0]
-            else:
-                crops.append(c)
-                src.append((i, j))
-    if crops:
-        if "gender_fn" not in _MODEL_CACHE:
-            _MODEL_CACHE["gender_fn"] = jax.jit(gender_lib.classify)
-        labels = np.asarray(_MODEL_CACHE["gender_fn"](
-            variables, jnp.asarray(_pad_batch(crops, gender_lib.INPUT_SIZE))
-        ))
-        for lab, (i, j) in zip(labels, src):
-            out[i][j] = gender_lib.LABELS[int(lab)]
-    return out
+@register_composite("DetectGender")
+def _build_gender(inputs, params, device):
+    nboxes, valid = _device_boxes(inputs["bboxes"])
+    fwd = OpNode("GenderForward",
+                 {"frame": inputs["frame"], "nboxes": nboxes, "valid": valid},
+                 dict(params), device=device)
+    return OpNode("GenderDecode", {"labels": NodeOutput(fwd, 0),
+                                   "valid": NodeOutput(fwd, 1)}, {})

@@ -85,56 +85,59 @@ def nn_input(ctx, frame, input_width: int = -1, input_height: int = -1,
     return x
 
 
-@register_op("NNForward", kind="host", outputs=("array_f32",))
-def nn_forward(ctx, input, model: str = "", descriptor_path: str = "",
-               weights_path: Optional[str] = None):
-    """Generic forward pass (the reference's ``Caffe`` op,
-    caffe_kernel.cpp:335-431). ``model`` names a registry entry, or
-    ``descriptor_path`` points at a NetDescriptor TOML whose model_path is
-    the registry name. Output: the model's (first) output per frame."""
+def _resolve_descriptor(model: str, descriptor_path: str,
+                        weights_path: Optional[str]):
     if descriptor_path:
         desc = NetDescriptor.from_file(descriptor_path)
         model = model or desc.model_path
         weights_path = weights_path or (desc.model_weights_path or None)
-    init_fn, apply_fn = get_model(model)
-    variables = _get_params(f"nn:{model}", weights_path, init_fn)
-    key = (f"nn_fn:{model}",)
-    if key not in _MODEL_CACHE:
-        _MODEL_CACHE[key] = jax.jit(apply_fn)
-    x = np.asarray(input, np.float32)
-    with ctx.profiler.span(f"nn:{model}") if ctx and ctx.profiler else \
-            _null():
-        out = _MODEL_CACHE[key](variables, jnp.asarray(x))
+    return model, weights_path
+
+
+def _nn_aux(ctx, params):
+    model, weights_path = _resolve_descriptor(
+        params.get("model", ""), params.get("descriptor_path", ""),
+        params.get("weights_path"))
+    init_fn, _ = get_model(model)
+    return _get_params(f"nn:{model}", weights_path, init_fn)
+
+
+@register_op("NNForward", kind="device", aux=_nn_aux,
+             outputs=("array_f32",))
+def nn_forward(ctx, aux, input, model: str = "", descriptor_path: str = "",
+               weights_path: Optional[str] = None):
+    """Generic forward pass (the reference's ``Caffe`` op,
+    caffe_kernel.cpp:335-431). ``model`` names a registry entry, or
+    ``descriptor_path`` points at a NetDescriptor TOML whose model_path is
+    the registry name. Device op: the forward fuses into the surrounding
+    device segment (weights enter via OpDef.aux). Output: the model's
+    (first) output, rows = frames."""
+    model, _ = _resolve_descriptor(model, descriptor_path, weights_path)
+    _, apply_fn = get_model(model)
+    x = jnp.asarray(input)
+    if x.dtype != jnp.float32:
+        x = x.astype(jnp.float32)
+    out = apply_fn(aux, x)
     if isinstance(out, (tuple, list)):
         out = out[0]
-    return [np.asarray(o) for o in np.asarray(out)]
+    return out
 
 
-@register_op("FasterRCNN", kind="host",
+def _frcnn_aux(ctx, params):
+    init_fn, _ = get_model("faster_rcnn")
+    return _get_params("nn:faster_rcnn", params.get("weights_path"), init_fn)
+
+
+@register_op("FasterRCNN", kind="device", aux=_frcnn_aux,
              outputs=("array_f32", "array_f32", "array_f32"))
-def faster_rcnn_forward(ctx, input, weights_path: Optional[str] = None):
+def faster_rcnn_forward(ctx, aux, input, weights_path: Optional[str] = None):
     """Faster R-CNN forward (faster_rcnn_kernel.cpp:6-33): input is the
     NNInput-preprocessed frame batch (BGR, caffe mean); emits per frame
     cls_prob [R,81], rois [R,5] (batch, x1, y1, x2, y2 in input pixels —
     im_info scale is 1.0, matching the reference's net_config), fc7
     [R,4096]. Feed FasterRCNNOutput for the 0.7-threshold argmax decode."""
-    init_fn, apply_fn = get_model("faster_rcnn")
-    variables = _get_params("nn:faster_rcnn", weights_path, init_fn)
-    key = ("nn_fn:faster_rcnn",)
-    if key not in _MODEL_CACHE:
-        _MODEL_CACHE[key] = jax.jit(apply_fn)
-    x = jnp.asarray(np.asarray(input, np.float32))
-    with ctx.profiler.span("nn:faster_rcnn") if ctx and ctx.profiler else \
-            _null():
-        cls_prob, rois, fc7 = _MODEL_CACHE[key](variables, x)
-    return ([np.asarray(c) for c in np.asarray(cls_prob)],
-            [np.asarray(r) for r in np.asarray(rois)],
-            [np.asarray(f) for f in np.asarray(fc7)])
-
-
-class _null:
-    def __enter__(self):
-        return self
-
-    def __exit__(self, *a):
-        return False
+    _, apply_fn = get_model("faster_rcnn")
+    x = jnp.asarray(input)
+    if x.dtype != jnp.float32:
+        x = x.astype(jnp.float32)
+    return apply_fn(aux, x)

@@ -22,9 +22,10 @@ import jax
 import jax.numpy as jnp
 
 from ..models import pose as pose_lib
-from ..registry import register_op
+from ..registry import register_composite, register_op
 from ..types import register_type
-from .faces import _MODEL_CACHE, _get_params, _to_f32_frames
+from ..utils.framechunk import as_hwc_f32
+from .faces import _MODEL_CACHE, _get_params
 
 
 class Pose:
@@ -166,39 +167,64 @@ def _hand_box(pose: Pose, wrist: int, elbow: int):
             float(min(w_[2], e_[2])))
 
 
-def _extract_crop(frame_f32: np.ndarray, box, size: int) -> np.ndarray:
-    """Normalized box -> [size, size, 3] crop in [-0.5, 0.5] (gray-padded
-    outside the frame, like CPM2Input's gray(128) border)."""
-    import cv2
+def _crop_batch_device(frames_f32: jnp.ndarray, items: jnp.ndarray,
+                       size: int) -> jnp.ndarray:
+    """Batched device crop extraction from the uploaded chunk (replaces the
+    per-person host cv2 path; reference: CPM2Input's 32-CUDA-stream crop
+    pipeline, cpm2_input_kernel_gpu.cpp:87). ``items``: [K, 5] rows of
+    (frame_idx, x0, y0, x1, y1) with normalized boxes -> [K, size, size, 3]
+    crops in [-0.5, 0.5]; samples outside the frame read gray(128), matching
+    the host path's gray-padded crop buffer."""
+    _, H, W, _ = frames_f32.shape
 
-    h, w = frame_f32.shape[:2]
-    x0, y0, x1, y1 = (int(round(box[0] * w)), int(round(box[1] * h)),
-                      int(round(box[2] * w)), int(round(box[3] * h)))
-    bw, bh = max(x1 - x0, 1), max(y1 - y0, 1)
-    out = np.full((bh, bw, 3), 128.0, np.float32)
-    sx0, sy0 = max(x0, 0), max(y0, 0)
-    sx1, sy1 = min(x1, w), min(y1, h)
-    if sx1 > sx0 and sy1 > sy0:
-        out[sy0 - y0:sy1 - y0, sx0 - x0:sx1 - x0] = \
-            frame_f32[sy0:sy1, sx0:sx1]
-    out = cv2.resize(out, (size, size), interpolation=cv2.INTER_LINEAR)
-    return out / 255.0 - 0.5
+    def one(it):
+        fi = it[0].astype(jnp.int32)
+        img = frames_f32[fi]
+        # int-rounded pixel corners, exactly like the host _extract_crop
+        x0 = jnp.round(it[1] * W)
+        y0 = jnp.round(it[2] * H)
+        bw = jnp.maximum(jnp.round(it[3] * W) - x0, 1.0)
+        bh = jnp.maximum(jnp.round(it[4] * H) - y0, 1.0)
+        # cv2.resize sampling: dst i -> crop-local (i+0.5)*scale - 0.5
+        ys = y0 + bh * (jnp.arange(size) + 0.5) / size - 0.5
+        xs = x0 + bw * (jnp.arange(size) + 0.5) / size - 0.5
+        y0i = jnp.floor(ys).astype(jnp.int32)
+        x0i = jnp.floor(xs).astype(jnp.int32)
+        wy = (ys - y0i)[:, None, None]
+        wx = (xs - x0i)[None, :, None]
+
+        def tap(yy, xx):
+            inside = ((yy >= 0) & (yy < H))[:, None, None] & \
+                     ((xx >= 0) & (xx < W))[None, :, None]
+            v = img[jnp.clip(yy, 0, H - 1)][:, jnp.clip(xx, 0, W - 1)]
+            return jnp.where(inside, v, 128.0)
+
+        top = tap(y0i, x0i) * (1 - wx) + tap(y0i, x0i + 1) * wx
+        bot = tap(y0i + 1, x0i) * (1 - wx) + tap(y0i + 1, x0i + 1) * wx
+        return (top * (1 - wy) + bot * wy) / 255.0 - 0.5
+
+    return jax.vmap(one)(items)
 
 
 def _run_crop_net(cache_tag: str, weights_path, init_fn, n_kp: int,
-                  crops: List[np.ndarray]):
-    """Batch all crops through the jitted sub-network; pad the batch to a
-    multiple of 4 so XLA sees few distinct shapes."""
+                  frames_dev, items: List, size: int):
+    """Crop extraction + sub-network in ONE nested device program over the
+    already-uploaded chunk: no per-person host work (openpose_kernel.cpp:
+    108-141 ran 32 CUDA streams here). Item batch padded to a multiple of 4
+    so XLA sees few distinct shapes."""
     variables = _get_params(cache_tag, weights_path, init_fn)
-    b = len(crops)
+    b = len(items)
     pb = -(-b // 4) * 4
-    batch = np.zeros((pb,) + crops[0].shape, np.float32)
-    batch[:b] = np.stack(crops)
-    key = (f"{cache_tag}_fn", pb, crops[0].shape[0])
+    it = np.zeros((pb, 5), np.float32)
+    it[:b] = np.asarray(items, np.float32)
+    t, h, w = frames_dev.shape[:3]
+    key = (f"{cache_tag}_fn", pb, size, t, h, w)
     if key not in _MODEL_CACHE:
         _MODEL_CACHE[key] = jax.jit(
-            lambda v, x: pose_lib.crop_keypoints(v, x, n_kp))
-    out = np.asarray(_MODEL_CACHE[key](variables, jnp.asarray(batch)))
+            lambda v, fr, its: pose_lib.crop_keypoints(
+                v, _crop_batch_device(fr, its, size), n_kp))
+    out = np.asarray(_MODEL_CACHE[key](variables, frames_dev,
+                                       jnp.asarray(it)))
     return out[:b]  # [b, n_kp, 3] crop-normalized
 
 
@@ -211,47 +237,59 @@ def _write_back(kp_full: np.ndarray, slot: int, n_kp: int, box,
     kp_full[slot:slot + n_kp, 2] = crop_kp[:, 2]
 
 
-@register_op("OpenPose", kind="host", outputs=("pose_list",))
-def openpose(ctx, frame, weights_path: Optional[str] = None,
-             pose_num_scales: int = 1, pose_scale_gap: float = 0.1,
-             compute_face: bool = False, compute_hands: bool = False,
-             face_weights_path: Optional[str] = None,
-             hand_weights_path: Optional[str] = None,
-             crop_net_size: int = 368, batch: int = 0):
-    """Body-pose detection. ``pose_num_scales``/``pose_scale_gap`` follow
-    the reference op's multi-scale knobs (openpose_kernel.cpp:94-141);
-    scales are averaged in heatmap space. Keypoints are emitted normalized
-    to [0,1] like the reference Pose type expects.
+def _openpose_aux(ctx, params):
+    return _get_params("openpose", params.get("weights_path"),
+                       pose_lib.init_params)
+
+
+@register_op("OpenPoseForward", kind="device", aux=_openpose_aux,
+             outputs=("array_f32", "array_i32", "array_f32", "array_i32"))
+def openpose_forward(ctx, aux, frame, weights_path: Optional[str] = None,
+                     pose_num_scales: int = 1, pose_scale_gap: float = 0.1):
+    """Body network + peak finding + PAF line integrals on device.
+    ``pose_num_scales``/``pose_scale_gap`` follow the reference op's
+    multi-scale knobs (openpose_kernel.cpp:94-141); scales are averaged in
+    heatmap space. Outputs: peaks [T,18,P,3] (padded-pixel coords), valid,
+    limb scores, dims [T,2] = (h, w) of the unpadded frames."""
+    x = as_hwc_f32(frame)
+    t, h, w, _ = x.shape
+    # pad to a multiple of 8 (network stride; CPM2Input pads to %8)
+    x = jnp.pad(x, ((0, 0), (0, (-h) % 8), (0, (-w) % 8), (0, 0)))
+    scales = tuple(
+        max(0.1, 1.0 - i * pose_scale_gap) for i in range(pose_num_scales)
+    )
+    peaks, valid, scores = pose_lib.device_stage(aux, x, scales)
+    dims = jnp.broadcast_to(jnp.asarray([h, w], jnp.int32), (t, 2))
+    return peaks, valid, scores, dims
+
+
+@register_op("OpenPoseDecode", kind="host", outputs=("pose_list",),
+             device_inputs=True)
+def openpose_decode(ctx, peaks, valid, scores, dims, frame=None,
+                    compute_face: bool = False, compute_hands: bool = False,
+                    face_weights_path: Optional[str] = None,
+                    hand_weights_path: Optional[str] = None,
+                    crop_net_size: int = 368, batch: int = 0):
+    """PAF grouping + Pose assembly on host; keypoints are emitted
+    normalized to [0,1] like the reference Pose type expects.
 
     ``compute_face``/``compute_hands`` run the CMU crop sub-networks
     (openpose_kernel.cpp:108-141): face crops from the body-derived face
     box, hand crops from the forearm heuristic, each decoded by per-channel
-    argmax and written into the 130-keypoint layout's face/hand slots.
-    ``crop_net_size`` is the crop resolution (the wrapper's 368×368)."""
-    variables = _get_params("openpose", weights_path, pose_lib.init_params)
-    frames = _to_f32_frames(frame)
-    t, h, w, _ = frames.shape
-    # pad to a multiple of 8 (network stride; CPM2Input pads to %8)
-    ph = -(-h // 8) * 8
-    pw = -(-w // 8) * 8
-    padded = np.zeros((t, ph, pw, 3), np.float32)
-    padded[:, :h, :w] = frames
-
-    scales = tuple(
-        max(0.1, 1.0 - i * pose_scale_gap) for i in range(pose_num_scales)
-    )
-    key = ("openpose_fn", ph, pw, t, scales)
-    if key not in _MODEL_CACHE:
-        _MODEL_CACHE[key] = jax.jit(
-            lambda v, a: pose_lib.device_stage(v, a, scales)
-        )
-    peaks, valid, scores = _MODEL_CACHE[key](variables, jnp.asarray(padded))
+    argmax and written into the 130-keypoint layout's face/hand slots. The
+    crops are extracted ON DEVICE from the already-uploaded chunk (``frame``
+    passes through as a device value; _crop_batch_device), so there is no
+    per-person host work. ``crop_net_size`` is the crop resolution (the
+    wrapper's 368×368)."""
     peaks = np.asarray(peaks)
     valid = np.asarray(valid)
     scores = np.asarray(scores)
+    dims = np.asarray(dims)
+    t = peaks.shape[0]
 
     out: List[List[Pose]] = []
     for i in range(t):
+        h, w = int(dims[i][0]), int(dims[i][1])
         people = pose_lib.group_people(peaks[i], valid[i], scores[i])
         poses = []
         for score, kp in people:
@@ -264,44 +302,71 @@ def openpose(ctx, frame, weights_path: Optional[str] = None,
         out.append(poses)
 
     if compute_face or compute_hands:
+        if frame is None:
+            raise ValueError(
+                "OpenPose compute_face/compute_hands need the frame input")
+        from ..utils.framechunk import FrameChunk
+
+        frames_dev = frame.hwc_f32() if isinstance(frame, FrameChunk) \
+            else jnp.asarray(np.asarray(frame)).astype(jnp.float32)
         FK, HK = Pose.FACE_KEYPOINTS, Pose.HAND_KEYPOINTS
         face_slot = Pose.POSE_KEYPOINTS
         lhand_slot = face_slot + FK
         rhand_slot = lhand_slot + HK
-        # gather (crop, pose, slot box) work items across the whole chunk
+        # gather (pose, slot, box) work items across the whole chunk
         face_items, hand_items = [], []
         for i, poses in enumerate(out):
             for p in poses:
                 if compute_face:
                     (fx0, fy0), (fx1, fy1), fs = p.face_bbox()
                     if fs > 0.05 and fx1 > fx0:
-                        face_items.append(
-                            (p, (fx0, fy0, fx1, fy1),
-                             _extract_crop(frames[i], (fx0, fy0, fx1, fy1),
-                                           crop_net_size)))
+                        face_items.append((p, (fx0, fy0, fx1, fy1), i))
                 if compute_hands:
                     for slot, wrist, elbow in (
                             (lhand_slot, Pose.LWrist, Pose.LElbow),
                             (rhand_slot, Pose.RWrist, Pose.RElbow)):
                         hb = _hand_box(p, wrist, elbow)
                         if hb is not None:
-                            hand_items.append(
-                                (p, slot, hb,
-                                 _extract_crop(frames[i], hb,
-                                               crop_net_size)))
+                            hand_items.append((p, slot, hb, i))
         if face_items:
-            kps = _run_crop_net("openpose_face", face_weights_path,
-                                pose_lib.init_face_params, FK,
-                                [c for _, _, c in face_items])
+            kps = _run_crop_net(
+                "openpose_face", face_weights_path,
+                pose_lib.init_face_params, FK, frames_dev,
+                [(i, *box) for _, box, i in face_items], crop_net_size)
             for (p, box, _), ckp in zip(face_items, kps):
                 _write_back(p._kp, face_slot, FK, box, ckp)
         if hand_items:
-            kps = _run_crop_net("openpose_hand", hand_weights_path,
-                                pose_lib.init_hand_params, HK,
-                                [c for _, _, _, c in hand_items])
+            kps = _run_crop_net(
+                "openpose_hand", hand_weights_path,
+                pose_lib.init_hand_params, HK, frames_dev,
+                [(i, *box[:4]) for _, _, box, i in hand_items],
+                crop_net_size)
             for (p, slot, box, _), ckp in zip(hand_items, kps):
                 _write_back(p._kp, slot, HK, box, ckp)
     return out
+
+
+@register_composite("OpenPose")
+def _build_openpose(inputs, params, device):
+    from ..graph import NodeOutput, OpNode
+
+    fwd_params = {k: params[k] for k in
+                  ("weights_path", "pose_num_scales", "pose_scale_gap")
+                  if k in params}
+    dec_params = {k: params[k] for k in
+                  ("compute_face", "compute_hands", "face_weights_path",
+                   "hand_weights_path", "crop_net_size", "batch")
+                  if k in params}
+    fwd = OpNode("OpenPoseForward", dict(inputs), fwd_params, device=device)
+    dec_inputs = {
+        "peaks": NodeOutput(fwd, 0),
+        "valid": NodeOutput(fwd, 1),
+        "scores": NodeOutput(fwd, 2),
+        "dims": NodeOutput(fwd, 3),
+    }
+    if dec_params.get("compute_face") or dec_params.get("compute_hands"):
+        dec_inputs["frame"] = inputs["frame"]
+    return OpNode("OpenPoseDecode", dec_inputs, dec_params)
 
 
 # ----------------------------------------------- CPM2 name-parity surface
@@ -326,21 +391,16 @@ def cpm2_input(ctx, frame, scale: float = 1.0):
     return x / 256.0 - 0.5
 
 
-@register_op("CPM2", kind="host", outputs=("array_f32", "array_f32"))
-def cpm2(ctx, cpm2_input, weights_path: Optional[str] = None):
+@register_op("CPM2", kind="device", aux=_openpose_aux,
+             outputs=("array_f32", "array_f32"))
+def cpm2(ctx, aux, cpm2_input, weights_path: Optional[str] = None):
     """CPM2 network forward (cpm2_kernel.cpp:13-52): emits resized heatmaps
-    and PAF maps at input resolution (the ImResizeLayer contract)."""
-    variables = _get_params("openpose", weights_path, pose_lib.init_params)
-    x = np.asarray(cpm2_input, np.float32)
-    t, h, w, _ = x.shape
-    key = ("cpm2_fn", t, h, w)
-    if key not in _MODEL_CACHE:
-        _MODEL_CACHE[key] = jax.jit(
-            lambda v, a: pose_lib.infer_maps(v, a, (a.shape[1], a.shape[2]))
-        )
-    heat, paf = _MODEL_CACHE[key](variables, jnp.asarray(x))
-    return [np.asarray(m) for m in np.asarray(heat)], \
-        [np.asarray(m) for m in np.asarray(paf)]
+    and PAF maps at input resolution (the ImResizeLayer contract). Device
+    op: fuses with CPM2Input's preprocessing in one segment."""
+    x = jnp.asarray(cpm2_input)
+    if x.dtype != jnp.float32:
+        x = x.astype(jnp.float32)
+    return pose_lib.infer_maps(aux, x, (x.shape[1], x.shape[2]))
 
 
 @register_op("CPM2Output", kind="host", outputs=("pose_list",))

@@ -172,3 +172,43 @@ def run_executor_dryrun(n_devices: int) -> None:
                             - fv.frames[i - 1].astype(np.int16)).astype(np.uint8)
             assert (diffs[i] == want_d).all(), \
                 f"executor dryrun: stencil row {i} wrong across shards"
+
+        # NN inference inside the multi-chip path: the MTCNN device-kind
+        # forward (full cascade, aux weights entering as replicated jit
+        # args) shards its frame axis over the mesh; outputs must match
+        # the 1-instance run exactly (batch sharding never changes
+        # per-frame math).
+        faces = sc.ops.MTCNNDetectFaces(frame=frame)
+        out_f = st.NamedStream(sc, "dry_f")
+        sc.run(sc.io.Output(faces, [out_f]),
+               st.PerfParams.manual(work_packet_size=2 * n_devices,
+                                    pipeline_instances_per_node=n_devices),
+               cache_mode=st.CacheMode.Overwrite)
+        out_f1 = st.NamedStream(sc, "dry_f1")
+        sc.run(sc.io.Output(faces, [out_f1]),
+               st.PerfParams.manual(work_packet_size=2 * n_devices,
+                                    pipeline_instances_per_node=1),
+               cache_mode=st.CacheMode.Overwrite)
+        sharded = [[(b.x1, b.y1, b.x2, b.y2, b.score) for b in fl]
+                   for fl in out_f.load()]
+        single = [[(b.x1, b.y1, b.x2, b.y2, b.score) for b in fl]
+                  for fl in out_f1.load()]
+        assert len(sharded) == n_frames
+        for i, (a, b) in enumerate(zip(sharded, single)):
+            assert a == pytest_approx_rows(a, b), \
+                f"executor dryrun: sharded MTCNN row {i} differs"
+
+
+def pytest_approx_rows(a, b, tol: float = 1e-5):
+    """Row-wise approx equality helper (no pytest dependency here): returns
+    ``a`` when every element matches ``b`` within tol, else ``b`` (so the
+    caller's equality assert fails and prints both)."""
+    if len(a) != len(b):
+        return b
+    for ra, rb in zip(a, b):
+        if len(ra) != len(rb):
+            return b
+        for x, y in zip(ra, rb):
+            if abs(x - y) > tol:
+                return b
+    return a

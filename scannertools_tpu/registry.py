@@ -41,6 +41,18 @@ class OpDef:
     outputs: Tuple[str, ...] = ("array_f32",)  # column type names
     init_state: Optional[Callable] = None  # stateful ops: ctx -> state
     variadic_outputs: bool = False
+    # Device ops with model weights: ``aux(ctx, params) -> pytree of
+    # arrays``. The executor resolves the pytree once per process (cached by
+    # op name + params), passes its leaves as real arguments into the jitted
+    # segment (NOT trace-time constants — large weights embedded as XLA
+    # constants bloat every executable), and replicates them over the mesh
+    # in sharded runs. The op fn then receives it as its second argument:
+    # ``fn(ctx, aux, *chunks, **params)``.
+    aux: Optional[Callable] = None
+    # Host ops that want device values passed through unconverted (e.g. the
+    # OpenPose decode launches a nested crop program against the
+    # already-uploaded FrameChunk instead of pulling frames to the host).
+    device_inputs: bool = False
 
     @property
     def n_outputs(self) -> int:
@@ -52,6 +64,7 @@ class OpDef:
 
 
 _OPS: Dict[str, OpDef] = {}
+_COMPOSITES: Dict[str, Callable] = {}
 
 
 def register_op(
@@ -61,6 +74,8 @@ def register_op(
     stencil: Tuple[int, int] = (0, 0),
     outputs: Sequence[str] = ("array_f32",),
     init_state: Optional[Callable] = None,
+    aux: Optional[Callable] = None,
+    device_inputs: bool = False,
 ):
     """Decorator registering an op implementation under ``name``.
 
@@ -78,10 +93,34 @@ def register_op(
             stencil=tuple(stencil),
             outputs=tuple(outputs),
             init_state=init_state,
+            aux=aux,
+            device_inputs=device_inputs,
         )
         return fn
 
     return deco
+
+
+def register_composite(name: str):
+    """Register a *composite* op: a graph-construction macro that expands
+    ``sc.ops.<name>(...)`` into a small sub-graph of primitive ops (the
+    TPU-native split of each reference NN kernel into a device-kind forward
+    + a host decode stage; reference contract: every kernel lives inside the
+    engine's placement/parallelism regime, caffe_kernel_cpu.cpp:10-13).
+
+    ``build_fn(inputs: Dict[str, NodeOutput], params: dict, device) ->
+    Node | NodeOutput`` constructs and returns the expansion's result node.
+    """
+
+    def deco(build_fn: Callable) -> Callable:
+        _COMPOSITES[name] = build_fn
+        return build_fn
+
+    return deco
+
+
+def get_composite(name: str) -> Optional[Callable]:
+    return _COMPOSITES.get(name)
 
 
 def register_python_op(
@@ -159,7 +198,7 @@ def get_op(name: str) -> OpDef:
 
 
 def has_op(name: str) -> bool:
-    return name in _OPS
+    return name in _OPS or name in _COMPOSITES
 
 
 def all_ops() -> Dict[str, OpDef]:

@@ -74,6 +74,37 @@ def _ser_params(v) -> str:
 # process — reuses the compiled executable.
 _SEGMENT_JIT_CACHE: Dict[Any, Any] = {}
 
+# Process-level cache of resolved op aux pytrees (model weights). Keyed by
+# (op name, serialized params, placement) so weights load/replicate once per
+# process, not per job/chunk. Placement: None (default device), "cpu"
+# (forced CPU backend), or the mesh size (replicated over the data mesh).
+_AUX_CACHE: Dict[Any, Any] = {}
+
+
+def _resolve_aux(opdef, node, ctx, placement, mesh=None, cpu_dev=None):
+    base_key = (opdef.name, _ser_params(node.params))
+    key = base_key + (placement,)
+    if key in _AUX_CACHE:
+        return _AUX_CACHE[key]
+    if base_key + (None,) in _AUX_CACHE:
+        val = _AUX_CACHE[base_key + (None,)]
+    else:
+        val = opdef.aux(ctx, node.params)
+        _AUX_CACHE[base_key + (None,)] = val
+    if placement == "cpu":
+        val = jax.tree_util.tree_map(
+            lambda leaf: jax.device_put(leaf, cpu_dev), val)
+    elif isinstance(placement, int):
+        # data-parallel runs replicate weights over the mesh (the reference
+        # replicates the whole pipeline per instance, SURVEY §2j)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(mesh, PartitionSpec())
+        val = jax.tree_util.tree_map(
+            lambda leaf: jax.device_put(leaf, rep), val)
+    _AUX_CACHE[key] = val
+    return val
+
 
 def _aval_key(a) -> tuple:
     if isinstance(a, FrameChunk):
@@ -174,6 +205,7 @@ class Executor:
         cache_mode: CacheMode = CacheMode.Error,
         show_progress: bool = False,
         job_distribution: str = "static",
+        claim_timeout_sec: float = 300.0,
     ):
         perf = perf_params or PerfParams.estimate()
         order = toposort(output)
@@ -227,7 +259,30 @@ class Executor:
             from ..parallel.sharded import host_job_slice
 
             jobs = host_job_slice(n_jobs)
-        for job in jobs:
+        # Job-boundary overlap: job N's decode thread, once it drains its
+        # last chunk, pre-opens job N+1's decoders and decodes their first
+        # frame (container probe + seek index + first keyframe) — hiding the
+        # next job's ramp behind job N's remaining compute + sink drain +
+        # commit (ROADMAP #7; reference analog: the engine's io-packet
+        # pipeline crossing table boundaries).
+        warm_decoders: Dict[Tuple[int, int], Any] = {}
+
+        def warm_job(job: int) -> None:
+            for si, src in enumerate(sources):
+                ins = src.streams[job]
+                if not getattr(ins, "is_video", False) or \
+                        (job, si) in warm_decoders:
+                    continue
+                try:
+                    dec = ins.decoder()
+                    rows = self._effective_rows(order, src, job, len(ins))
+                    if rows:
+                        dec.read_frames([rows[0]])
+                    warm_decoders[(job, si)] = dec
+                except Exception:
+                    pass  # warmup is best-effort; the job opens its own
+
+        def run_one(job: int, nxt: Optional[int] = None) -> None:
             sink_streams = self._job_sinks(output, job)
             committed = all(s.committed() for s in sink_streams)
             if committed:
@@ -237,12 +292,45 @@ class Executor:
                         "(pass cache_mode=CacheMode.Ignore/Overwrite)"
                     )
                 if cache_mode in (CacheMode.Ignore, CacheMode.Resume):
-                    continue
+                    return
             self._run_job(output, order, need, sources, job, sink_streams,
                           perf, show_progress,
                           resume=cache_mode == CacheMode.Resume,
                           heartbeat=(lambda j=job: claims.heartbeat(j))
-                          if claims is not None else None)
+                          if claims is not None else None,
+                          warm=warm_decoders,
+                          on_decode_drained=(lambda n=nxt: warm_job(n))
+                          if nxt is not None else None)
+
+        try:
+            it = iter(jobs)
+            cur = next(it, None)
+            while cur is not None:
+                nxt = next(it, None)
+                run_one(cur, nxt)
+                cur = nxt
+        finally:
+            for dec in warm_decoders.values():  # unconsumed warmups
+                try:
+                    dec.close()
+                except Exception:
+                    pass
+            warm_decoders.clear()
+
+        if claims is not None:
+            # Elastic retry passes: a dead host's claims go stale (no
+            # heartbeat) — reap them and absorb the jobs, so the run
+            # completes without manual intervention (the reference master's
+            # worker-loss reassignment, SURVEY §2j). Committed jobs are
+            # never reaped. Uncommitted-but-claimed jobs whose holder is
+            # alive keep heartbeating and survive every pass.
+            def _committed(j: int) -> bool:
+                return all(s.committed() for s in self._job_sinks(output, j))
+
+            while claims.reclaim_stale(older_than_sec=claim_timeout_sec,
+                                       is_committed=_committed) > 0:
+                for job in claims.iter_jobs(n_jobs):
+                    run_one(job)
 
     def _job_sinks(self, output: OutputNode, job: int):
         s = output.streams[job]
@@ -296,7 +384,8 @@ class Executor:
         return hashlib.sha256(sig_src.encode()).hexdigest()[:12]
 
     def _run_job(self, output, order, need, sources, job, sink_streams, perf,
-                 show_progress, resume: bool = False, heartbeat=None):
+                 show_progress, resume: bool = False, heartbeat=None,
+                 warm=None, on_decode_drained=None):
         in_streams = [s.streams[job] for s in sources]
         stream_meta = {}
         for ins in in_streams:
@@ -417,8 +506,11 @@ class Executor:
         rings: List[Any] = []
         uploads: List[bool] = []
         metas: List[Dict[str, Any]] = []
-        for src, ins in zip(sources, in_streams):
-            decoder = ins.decoder() if getattr(ins, "is_video", False) else None
+        for si_idx, (src, ins) in enumerate(zip(sources, in_streams)):
+            decoder = (warm or {}).pop((job, si_idx), None)
+            if decoder is None:
+                decoder = ins.decoder() if getattr(ins, "is_video", False) \
+                    else None
             meta = {}
             if decoder is not None:
                 m = ins.metadata()
@@ -449,7 +541,9 @@ class Executor:
                 and any(e.node.id in frame_node_ids for e in n.inputs.values())
             ]
             uploads.append(bool(consumers) and all(
-                get_op(n.name).kind == "device" for n in consumers
+                get_op(n.name).kind == "device"
+                or get_op(n.name).device_inputs  # host op driving nested
+                for n in consumers               # device programs (pose)
             ) and decoder is not None)
             decoders.append(decoder)
             rings.append(ring)
@@ -497,7 +591,8 @@ class Executor:
                             [parse(e) for e in elems], s_lo, s_hi, False)
             return a, T, vals
 
-        prefetched = _Prefetcher(decode_chunk, chunks, depth=depth)
+        prefetched = _Prefetcher(decode_chunk, chunks, depth=depth,
+                                 on_drained=on_decode_drained)
         # sink serialization + IO runs off the critical path: chunk N+1's
         # decode/compute overlaps chunk N's writes (reference save workers)
         sink_worker = _SinkWorker(depth=2 * max(1, len(writers)))
@@ -682,6 +777,23 @@ class Executor:
                 data = np.stack(data)
             arrays.append(data)  # FrameChunks pass through as pytrees
 
+        # model weights (OpDef.aux) enter as real jit arguments — resolved
+        # once per process, replicated over the mesh in sharded runs — so
+        # they are never embedded as trace-time constants
+        placement = "cpu" if cpu_dev is not None else (
+            int(self._mesh.devices.size) if self._mesh is not None else None)
+        aux_meta: List[Tuple[int, Any, int, int]] = []
+        aux_leaves: List[Any] = []
+        for si_, node in enumerate(seg):
+            opdef_n = get_op(node.name)
+            if opdef_n.aux is None:
+                continue
+            val = _resolve_aux(opdef_n, node, ctx, placement, self._mesh,
+                               cpu_dev)
+            leaves, tdef = jax.tree_util.tree_flatten(val)
+            aux_meta.append((si_, tdef, len(aux_leaves), len(leaves)))
+            aux_leaves.extend(leaves)
+
         if key not in jit_cache:
             import os as _os
 
@@ -706,6 +818,7 @@ class Executor:
                 struct,
                 tuple((lo, hi) for _, _, lo, hi in ext),
                 tuple(_aval_key(a) for a in arrays),
+                tuple(_aval_key(a) for a in aux_leaves),
                 T,
                 None if self._mesh is None else int(self._mesh.devices.size),
                 tuple(sorted(ctx.stream_meta.items())),
@@ -720,12 +833,21 @@ class Executor:
                 need_s = dict(need)
                 ext_meta = list(ext)
                 out_sel = list(out_keys)
+                aux_meta_c = list(aux_meta)
+                n_ext = len(ext_meta)
 
-                def segment_fn(*arrays):
+                def segment_fn(*all_args):
+                    arrays = all_args[:n_ext]
+                    auxs = all_args[n_ext:]
                     local: Dict[Tuple[int, int], _Value] = {}
                     for (nid, idx, lo, hi), arr in zip(ext_meta, arrays):
                         local[(nid, idx)] = _Value(arr, lo, hi, True)
-                    for node in seg_nodes:
+                    aux_by_seg = {
+                        si_: jax.tree_util.tree_unflatten(
+                            tdef, auxs[start:start + cnt])
+                        for si_, tdef, start, cnt in aux_meta_c
+                    }
+                    for si_, node in enumerate(seg_nodes):
                         opdef = get_op(node.name)
                         n_lo, n_hi = need_s[node.id]
                         s_lo, s_hi = opdef.stencil
@@ -734,7 +856,11 @@ class Executor:
                             v = local[(e.node.id, e.index)]
                             args.append(
                                 v.slice_rows(n_lo + s_lo, n_hi + s_hi, T))
-                        res = opdef.fn(ctx, *args, **node.params)
+                        if si_ in aux_by_seg:
+                            res = opdef.fn(ctx, aux_by_seg[si_], *args,
+                                           **node.params)
+                        else:
+                            res = opdef.fn(ctx, *args, **node.params)
                         if opdef.n_outputs == 1:
                             res = (res,)
                         for k, r in enumerate(res):
@@ -756,7 +882,7 @@ class Executor:
             arrays = [jax.device_put(a, cpu_dev) for a in arrays]
             with self.profiler.span(
                     "device:" + "+".join(n.name for n in seg) + "@cpu"):
-                outs = fn(*arrays)
+                outs = fn(*arrays, *aux_leaves)
                 outs = jax.tree_util.tree_map(
                     lambda o: np.asarray(jax.device_get(o)), outs)
             self._store_segment_outputs(stored_keys, need, values, outs)
@@ -780,14 +906,14 @@ class Executor:
             try:
                 with self.profiler.span(
                         "device:" + "+".join(n.name for n in seg)):
-                    outs = fn(*arrays)
+                    outs = fn(*arrays, *aux_leaves)
             finally:
                 sharded_mode.reset(token)
                 current_mesh.reset(token_m)
             self._store_segment_outputs(stored_keys, need, values, outs)
             return
         with self.profiler.span("device:" + "+".join(n.name for n in seg)):
-            outs = fn(*arrays)
+            outs = fn(*arrays, *aux_leaves)
         self._store_segment_outputs(stored_keys, need, values, outs)
 
     def _store_segment_outputs(self, out_keys, need, values, outs):
@@ -814,7 +940,8 @@ class Executor:
         for e in node.inputs.values():
             v = values[(e.node.id, e.index)]
             data = v.slice_rows(n_lo + s_lo, n_hi + s_hi, T)
-            if v.is_device or isinstance(data, FrameChunk):
+            if (v.is_device or isinstance(data, FrameChunk)) \
+                    and not opdef.device_inputs:
                 data = _to_host(data)
             args.append(data)
 
@@ -964,11 +1091,15 @@ class _Prefetcher:
     to ``depth`` chunks queued (the double-buffered host→HBM overlap of the
     north star; reference analog: io packets decoded ahead of kernel threads)."""
 
-    def __init__(self, fn, starts: Sequence[int], depth: int = 2):
+    def __init__(self, fn, starts: Sequence[int], depth: int = 2,
+                 on_drained=None):
         self._starts = list(starts)
         self._fn = fn
         self._stop = threading.Event()
         self._thread = None
+        # fires once after the LAST chunk is decoded (while compute/sinks
+        # still run) — the hook for next-job decoder warmup
+        self._on_drained = on_drained
         if depth <= 0:
             # synchronous mode: decode inline on the consumer thread. On
             # hosts where concurrent device access from two threads is
@@ -978,12 +1109,21 @@ class _Prefetcher:
         self._thread = threading.Thread(target=self._work, daemon=True)
         self._thread.start()
 
+    def _drained(self):
+        cb, self._on_drained = self._on_drained, None
+        if cb is not None:
+            try:
+                cb()
+            except Exception:
+                pass  # warmup is best-effort
+
     def _work(self):
         try:
             for a in self._starts:
                 if self._stop.is_set():
                     return
                 self._q.put(self._fn(a))
+            self._drained()
             self._q.put(None)
         except BaseException as e:  # surface decode errors to the consumer
             self._q.put(e)
@@ -994,6 +1134,7 @@ class _Prefetcher:
                 if self._stop.is_set():
                     return
                 yield self._fn(a)
+            self._drained()
             return
         while True:
             item = self._q.get()

@@ -86,6 +86,30 @@ _SCRIPT = textwrap.dedent("""
         want2 = np.abs(fv.frames[i].astype(np.int16)
                        - fv.frames[i-1].astype(np.int16)).astype(np.uint8)
         assert (got2[i] == want2).all(), f"stencil row {i} wrong across shards"
+
+    # NN inference in the multi-chip path (VERDICT r2 #1): the MTCNN
+    # device-kind forward shards over all 8 devices (aux weights ride as
+    # replicated jit args); results must match the single-instance run.
+    faces = sc.ops.MTCNNDetectFaces(frame=frame)
+    out_f = st.NamedStream(sc, "faces8")
+    sc.run(sc.io.Output(faces, [out_f]),
+           st.PerfParams.manual(work_packet_size=16,
+                                pipeline_instances_per_node=8),
+           cache_mode=st.CacheMode.Overwrite)
+    out_f1 = st.NamedStream(sc, "faces1")
+    sc.run(sc.io.Output(faces, [out_f1]),
+           st.PerfParams.manual(work_packet_size=16,
+                                pipeline_instances_per_node=1),
+           cache_mode=st.CacheMode.Overwrite)
+    a = [[(b.x1, b.y1, b.x2, b.y2, b.score) for b in fl]
+         for fl in out_f.load()]
+    b = [[(b.x1, b.y1, b.x2, b.y2, b.score) for b in fl]
+         for fl in out_f1.load()]
+    assert len(a) == 24
+    for i, (ra, rb) in enumerate(zip(a, b)):
+        assert len(ra) == len(rb) and all(
+            abs(x - y) <= 1e-5 for p, q in zip(ra, rb)
+            for x, y in zip(p, q)), f"sharded MTCNN row {i} differs"
     print("MULTICHIP_OK")
 """)
 
@@ -109,14 +133,21 @@ def test_sharded_pipeline_8_virtual_devices(tmp_path):
     env["JAX_COMPILATION_CACHE_DIR"] = os.path.expanduser("~/.jax_cache")
     script = tmp_path / "par.py"
     script.write_text(_SCRIPT)
-    try:
-        res = subprocess.run(
-            [sys.executable, str(script)], env=env, capture_output=True,
-            text=True, timeout=540,
-        )
-    except subprocess.TimeoutExpired:
-        pytest.skip("virtual-CPU-mesh subprocess timed out (flaky CPU "
-                    "backend in this tunneled environment)")
+    # retry once before skipping: this is the only test of the executor's
+    # multi-chip path — a single flaky timeout must not let it rot silently
+    res = None
+    for attempt in range(2):
+        try:
+            res = subprocess.run(
+                [sys.executable, str(script)], env=env, capture_output=True,
+                text=True, timeout=540,
+            )
+            break
+        except subprocess.TimeoutExpired:
+            continue
+    if res is None:
+        pytest.skip("virtual-CPU-mesh subprocess timed out twice (flaky "
+                    "CPU backend in this tunneled environment)")
     if "NO_VIRTUAL_MESH" in res.stdout:
         pytest.skip("environment pins JAX to the tunneled TPU; virtual CPU "
                     "mesh unavailable (driver dryrun covers this path)")

@@ -10,8 +10,8 @@ import jax.numpy as jnp
 
 from scannertools_tpu.models import pose as pose_lib
 from scannertools_tpu.models import porting_maps as pm
-from scannertools_tpu.ops.pose import (Pose, _extract_crop, _hand_box,
-                                       _write_back, openpose)
+from scannertools_tpu.ops.pose import (Pose, _crop_batch_device, _hand_box,
+                                       _write_back, openpose_decode)
 
 
 def test_crop_mapping_total():
@@ -53,13 +53,48 @@ def test_hand_box_geometry():
     assert _hand_box(Pose(1.0, kp), Pose.RWrist, Pose.RElbow) is None
 
 
-def test_extract_crop_pads_gray_outside():
-    frame = np.full((40, 60, 3), 200.0, np.float32)
-    crop = _extract_crop(frame, (-0.5, -0.5, 0.5, 0.5), 16)
+def test_device_crop_pads_gray_outside():
+    """Device crop extraction (the replacement for the per-person host cv2
+    path) keeps the gray(128)-outside-frame semantics of CPM2Input."""
+    frames = np.full((1, 40, 60, 3), 200.0, np.float32)
+    items = jnp.asarray([[0, -0.5, -0.5, 0.5, 0.5]], jnp.float32)
+    crop = np.asarray(_crop_batch_device(jnp.asarray(frames), items, 16))[0]
     assert crop.shape == (16, 16, 3)
     # top-left quadrant is outside the frame -> gray 128 -> ~0.0 after map
     assert abs(crop[0, 0, 0] - (128 / 255 - 0.5)) < 1e-5
     assert abs(crop[-1, -1, 0] - (200 / 255 - 0.5)) < 1e-5
+
+
+def test_device_crop_matches_host_reference():
+    """Bilinear interior parity vs the (former) host crop path: int-rounded
+    pixel corners, cv2-style (i+0.5)*scale-0.5 sampling."""
+    import cv2
+
+    def host_crop(frame_f32, box, size):
+        h, w = frame_f32.shape[:2]
+        x0, y0, x1, y1 = (int(round(box[0] * w)), int(round(box[1] * h)),
+                          int(round(box[2] * w)), int(round(box[3] * h)))
+        bw, bh = max(x1 - x0, 1), max(y1 - y0, 1)
+        out = np.full((bh, bw, 3), 128.0, np.float32)
+        sx0, sy0 = max(x0, 0), max(y0, 0)
+        sx1, sy1 = min(x1, w), min(y1, h)
+        if sx1 > sx0 and sy1 > sy0:
+            out[sy0 - y0:sy1 - y0, sx0 - x0:sx1 - x0] = \
+                frame_f32[sy0:sy1, sx0:sx1]
+        out = cv2.resize(out, (size, size), interpolation=cv2.INTER_LINEAR)
+        return out / 255.0 - 0.5
+
+    rng = np.random.RandomState(7)
+    frames = rng.randint(0, 255, (2, 48, 64, 3)).astype(np.float32)
+    boxes = [(0, (0.2, 0.1, 0.7, 0.9)), (1, (0.4, 0.3, 0.9, 0.8))]
+    items = jnp.asarray([[fi, *b] for fi, b in boxes], jnp.float32)
+    dev = np.asarray(_crop_batch_device(jnp.asarray(frames), items, 24))
+    for k, (fi, b) in enumerate(boxes):
+        want = host_crop(frames[fi], b, 24)
+        # edges can differ by one blend (crop-buffer clamp vs frame read);
+        # compare the interior
+        np.testing.assert_allclose(dev[k][1:-1, 1:-1], want[1:-1, 1:-1],
+                                   atol=2e-3)
 
 
 def test_write_back_maps_to_frame_coords():
@@ -71,9 +106,11 @@ def test_write_back_maps_to_frame_coords():
     assert not kp_full[4].any() and not kp_full[7].any()
 
 
-def test_openpose_op_fills_face_hand_slots(monkeypatch):
-    """Full op with compute_face/compute_hands on a synthetic person: the
-    face and both hand slots come back non-zero, the layout round-trips."""
+def test_openpose_decode_fills_face_hand_slots(monkeypatch):
+    """Decode with compute_face/compute_hands on a synthetic person: the
+    face and both hand slots come back non-zero, the layout round-trips.
+    (The body forward is not involved — the decode receives its padded
+    peak arrays directly, as it does from the device segment.)"""
     kp = np.zeros((18, 3), np.float32)
     kp[Pose.Nose] = (32, 10, 0.9)
     kp[Pose.REye] = (28, 8, 0.9)
@@ -87,21 +124,15 @@ def test_openpose_op_fills_face_hand_slots(monkeypatch):
 
     monkeypatch.setattr(pose_lib, "group_people",
                         lambda peaks, valid, scores: [(0.9, kp.copy())])
-    # stub the body net: this test exercises the crop sub-network
-    # integration, and compiling the 6-stage body net dominates runtime
-    from scannertools_tpu.ops.faces import _MODEL_CACHE
-
-    monkeypatch.setitem(_MODEL_CACHE, ("openpose", None), {})
-    monkeypatch.setitem(
-        _MODEL_CACHE, ("openpose_fn", 64, 64, 1, (1.0,)),
-        lambda v, a: (np.zeros((1, 18, pose_lib.MAX_PEAKS, 3), np.float32),
-                      np.zeros((1, 18, pose_lib.MAX_PEAKS), bool),
-                      np.zeros((1, 19, 1, 1), np.float32)))
-
     frames = np.random.RandomState(3).randint(
         0, 255, (1, 64, 64, 3), np.uint8)
-    poses_per_frame = openpose(None, list(frames), compute_face=True,
-                               compute_hands=True, crop_net_size=32)
+    peaks = np.zeros((1, 18, pose_lib.MAX_PEAKS, 3), np.float32)
+    valid = np.zeros((1, 18, pose_lib.MAX_PEAKS), bool)
+    scores = np.zeros((1, 19, 1, 1), np.float32)
+    dims = np.array([[64, 64]], np.int32)
+    poses_per_frame = openpose_decode(
+        None, peaks, valid, scores, dims, frame=frames,
+        compute_face=True, compute_hands=True, crop_net_size=32)
     (p,) = poses_per_frame[0]
     face = p.face_keypoints()
     lh, rh = p.hand_keypoints()
