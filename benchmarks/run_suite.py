@@ -206,6 +206,37 @@ def main():
                     lambda: round(n / timed(face_run, "w_fa", "t_fa",
                                             reps=2), 1))
 
+        # ---- multi-video job-boundary overlap (ROADMAP #7): 3 jobs in one
+        # run; the decode thread pre-opens job N+1's decoder when job N's
+        # last chunk is decoded. A/B via ST_TPU_NO_JOB_OVERLAP.
+        n3 = 96
+        vids = [testing.ingest_test_video(
+            sc, n=n3, w=640, h=480, cuts=(n3 // 2,), name=f"mv{j}")[0]
+            for j in range(3)]
+
+        def three_video_run(name):
+            frame = sc.io.Input(vids)
+            hist = sc.ops.Histogram(frame=frame)
+            shots = sc.ops.ShotBoundaries(histograms=hist)
+            sc.run(sc.io.Output(
+                shots, [st.NamedStream(sc, f"{name}_{j}") for j in range(3)]),
+                pp, cache_mode=st.CacheMode.Overwrite)
+
+        def do_three(flag):
+            prev = os.environ.pop("ST_TPU_NO_JOB_OVERLAP", None)
+            if flag:
+                os.environ["ST_TPU_NO_JOB_OVERLAP"] = "1"
+            try:
+                return round(3 * n3 / timed(three_video_run,
+                                            f"w3{flag}", f"t3{flag}"), 1)
+            finally:
+                os.environ.pop("ST_TPU_NO_JOB_OVERLAP", None)
+                if prev is not None:
+                    os.environ["ST_TPU_NO_JOB_OVERLAP"] = prev
+
+        section("e2e_3video_shot_fps_overlap", lambda: do_three(False))
+        section("e2e_3video_shot_fps_no_overlap", lambda: do_three(True))
+
         totals = sc.profiler.totals()
         results["e2e_decode_seconds"] = round(totals.get("source:read", 0), 2)
         results["e2e_device_seconds"] = round(

@@ -61,6 +61,30 @@ def _to_f32_frames(frames) -> np.ndarray:
     return np.asarray(frames).astype(np.float32)
 
 
+def _crop_resize_host(frame: np.ndarray, bbox, out_size: int
+                      ) -> Optional[np.ndarray]:
+    """Reference crop semantics (face_embedding.py:64-72): int-truncated
+    normalized coords, cv2 resize; None for degenerate crops. Host helper
+    used by the generic CropClassify machinery (ops/legacy_extras.py)."""
+    import cv2
+
+    h, w = frame.shape[:2]
+    crop = frame[int(bbox.y1 * h):int(bbox.y2 * h),
+                 int(bbox.x1 * w):int(bbox.x2 * w)]
+    if crop.shape[0] == 0 or crop.shape[1] == 0:
+        return None
+    return cv2.resize(crop, (out_size, out_size))
+
+
+def _pad_batch(crops: List[np.ndarray], size: int, mult: int = 8
+               ) -> np.ndarray:
+    n = max(mult, -(-len(crops) // mult) * mult)
+    out = np.zeros((n, size, size, 3), np.float32)
+    for i, c in enumerate(crops):
+        out[i] = c
+    return out
+
+
 # --------------------------------------------------------------- MTCNN
 
 def _mtcnn_aux(ctx, params):
@@ -148,6 +172,47 @@ def _crop_px_boxes(nb: jnp.ndarray, h: int, w: int):
 
 # --------------------------------------------------------------- EmbedFaces
 
+def _compact_crops(x, nboxes, valid, size: int, budget_per_frame: int):
+    """Cross-frame crop compaction: instead of running T×MAX_FACES padded
+    crops through the net (≥16× padded-compute waste at typical ≤2
+    faces/frame), select the first B = T·budget valid slots across the
+    WHOLE chunk (stable top_k over the validity mask), extract just those
+    crops, and return scatter metadata to map net outputs back to
+    [T, MAX_FACES] slots. Slots beyond the budget (chunk-average >
+    ``budget`` faces/frame) fall back to the degenerate-crop output; pass
+    ``faces_budget=MAX_FACES`` for exactness."""
+    t, h, w, _ = x.shape
+    k = nboxes.shape[1]
+    B = min(t * k, max(1, budget_per_frame) * t)
+
+    def frame_px(nb):
+        return _crop_px_boxes(nb, h, w)
+
+    px, ok = jax.vmap(frame_px)(nboxes)  # [T,K,4], [T,K]
+    want = (valid & ok).reshape(t * k)
+    # stable top_k: equal values keep ascending index order -> first B
+    # valid slots in frame-major order
+    _, sel = jax.lax.top_k(want.astype(jnp.float32), B)
+    sel_ok = want[sel]
+    fi = sel // k
+
+    px_flat = px.reshape(t * k, 4)[sel]
+
+    def one(f, box):
+        return crop_and_resize(x[f], box[None], (size, size))[0]
+
+    crops = jax.vmap(one)(fi, px_flat)  # [B, size, size, 3]
+    return crops, sel, sel_ok, valid & ok
+
+
+def _scatter_rows(vals, sel, sel_ok, t: int, k: int):
+    """[B, D] net outputs -> [T, K, D], zeros elsewhere."""
+    d = vals.shape[-1]
+    flat = jnp.zeros((t * k, d), vals.dtype)
+    flat = flat.at[sel].set(jnp.where(sel_ok[:, None], vals, 0))
+    return flat.reshape(t, k, d)
+
+
 def _facenet_aux(ctx, params):
     return _get_params("facenet", params.get("weights_path"),
                        facenet_lib.init_params)
@@ -157,21 +222,19 @@ def _facenet_aux(ctx, params):
              outputs=("array_f32", "array_i32"))
 def face_embed_forward(ctx, aux, frame, nboxes, valid,
                        weights_path: Optional[str] = None,
-                       minibatch: int = 5):
+                       minibatch: int = 5, faces_budget: int = 8):
     """Crop + 160x160 resize + prewhiten + FaceNet on device:
     -> (embs [T,MAX_FACES,128], valid [T,MAX_FACES]). Degenerate crops emit
     the reference's zero vector (face_embedding.py:70). ``minibatch`` is
-    accepted for API parity; the whole padded chunk is one batch here."""
+    accepted for API parity; the crop batch is compacted across the chunk
+    to ``faces_budget``·T crops (see _compact_crops)."""
     x = as_hwc_f32(frame)
-    _, h, w, _ = x.shape
-
-    def per_frame(img, nb, v):
-        px, ok = _crop_px_boxes(nb, h, w)
-        crops = crop_and_resize(img, px, (160, 160))
-        embs = facenet_lib.embed(aux, crops)
-        return jnp.where((v & ok)[:, None], embs, 0.0), v
-
-    return jax.vmap(per_frame)(x, nboxes, valid)
+    t = x.shape[0]
+    k = nboxes.shape[1]
+    crops, sel, sel_ok, _ = _compact_crops(x, nboxes, valid, 160,
+                                           faces_budget)
+    embs = facenet_lib.embed(aux, crops)  # [B, 128]
+    return _scatter_rows(embs, sel, sel_ok, t, k), valid
 
 
 @register_op("EmbedDecode", kind="host", outputs=("facenet_embeddings",))
@@ -204,21 +267,21 @@ def _gender_aux(ctx, params):
 @register_op("GenderForward", kind="device", aux=_gender_aux,
              outputs=("array_i32", "array_i32"))
 def gender_forward(ctx, aux, frame, nboxes, valid,
-                   weights_path: Optional[str] = None):
+                   weights_path: Optional[str] = None,
+                   faces_budget: int = 8):
     """Crop + 227x227 resize + Levi–Hassner on device -> (labels
     [T,MAX_FACES] int32, valid). Degenerate crops label 0 ('M'), matching
-    the host path's LABELS[0] fallback."""
+    the host path's LABELS[0] fallback. Crop batch compacted across the
+    chunk (see _compact_crops)."""
     x = as_hwc_f32(frame)
-    _, h, w, _ = x.shape
-
-    def per_frame(img, nb, v):
-        px, ok = _crop_px_boxes(nb, h, w)
-        crops = crop_and_resize(img, px, (gender_lib.INPUT_SIZE,
-                                          gender_lib.INPUT_SIZE))
-        labels = gender_lib.classify(aux, crops)
-        return jnp.where(v & ok, labels, 0).astype(jnp.int32), v
-
-    return jax.vmap(per_frame)(x, nboxes, valid)
+    t = x.shape[0]
+    k = nboxes.shape[1]
+    crops, sel, sel_ok, _ = _compact_crops(x, nboxes, valid,
+                                           gender_lib.INPUT_SIZE,
+                                           faces_budget)
+    labels = gender_lib.classify(aux, crops).astype(jnp.int32)  # [B]
+    out = _scatter_rows(labels[:, None], sel, sel_ok, t, k)[..., 0]
+    return out, valid
 
 
 @register_op("GenderDecode", kind="host", outputs=("object",))

@@ -75,6 +75,69 @@ def _histogram_jnp_flat(flat: jnp.ndarray, npix: int, c: int = 3) -> jnp.ndarray
     return jnp.sum(onehot, axis=(1, 2), dtype=jnp.int32).reshape(-1, c, BINS)
 
 
+@functools.lru_cache(maxsize=16)
+def _chan_mask_np(rows: int, lanes: int, npix: int, c: int) -> np.ndarray:
+    """[c, rows, lanes] 0/1 mask: byte (r,l) belongs to channel k and is a
+    real pixel byte. Constant per chunk geometry (computed once, lives on
+    device as a jit constant)."""
+    pos = np.arange(rows * lanes).reshape(rows, lanes)
+    return np.stack([((pos % c == k) & (pos < npix)) for k in range(c)]
+                    ).astype(np.float32)
+
+
+def _histogram_mxu_flat(flat: jnp.ndarray, npix: int, c: int = 3
+                        ) -> jnp.ndarray:
+    """MXU formulation: hist[t,k,i] = Σ_p chan_mask[k,p] · (bin(p)==i).
+
+    The 48-way one-hot compare of ``_histogram_jnp_flat`` splits into a
+    16-way bin one-hot (VPU, 3× fewer compares) contracted against a
+    CONSTANT channel mask on the MXU (dot_general over the pixel axis;
+    bf16 products exactly represent 0/1, f32 accumulation is exact below
+    2^24 counts/bin)."""
+    t, rows, lanes = flat.shape
+    b = (flat >> 4).astype(jnp.int32)
+    iota = jnp.arange(BINS, dtype=jnp.int32)
+    onehot = (b[..., None] == iota).astype(jnp.bfloat16)
+    mask = jnp.asarray(_chan_mask_np(rows, lanes, npix, c), jnp.bfloat16)
+    out = lax.dot_general(
+        mask.reshape(c, rows * lanes),
+        onehot.reshape(t, rows * lanes, BINS),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [c, T, 16]
+    return out.transpose(1, 0, 2).astype(jnp.int32)
+
+
+def _histogram_stripe_flat(flat: jnp.ndarray, npix: int, c: int = 3
+                           ) -> jnp.ndarray:
+    """Row-stripe formulation: rows r ≡ m (mod 3) have the fixed per-lane
+    channel pattern chan = (2m + lane) % 3 (because 128 % 3 == 2), so each
+    stripe needs only a 16-way bin one-hot reduced over its rows — channel
+    attribution happens in a tiny per-lane epilogue."""
+    t, rows, lanes = flat.shape
+    pad = (-rows) % 3
+    if pad:
+        flat = jnp.pad(flat, ((0, 0), (0, pad), (0, 0)))
+    iota = jnp.arange(BINS + 1, dtype=jnp.int32)
+    lane_pos = np.arange(lanes)
+    out = jnp.zeros((t, c, BINS), jnp.int32)
+    for m in range(3):
+        sub = flat[:, m::3, :]  # [T, rows/3, 128]
+        # validity: byte index of (q, m, l) is (3q+m)*128 + l
+        q = np.arange(sub.shape[1])
+        pos = ((3 * q[:, None] + m) * lanes + lane_pos[None, :])
+        valid = jnp.asarray(pos < npix)
+        b = jnp.where(valid, (sub >> 4).astype(jnp.int32), BINS)
+        cnt = jnp.sum(b[..., None] == iota, axis=1, dtype=jnp.int32
+                      )  # [T, 128, 17]
+        chan = (2 * m + lane_pos) % c  # [128]
+        sel = jnp.asarray(
+            np.stack([chan == k for k in range(c)]).astype(np.int32)
+        )  # [c, 128]
+        out = out + jnp.einsum("tlb,kl->tkb", cnt[..., :BINS], sel)
+    return out
+
+
 def _histogram_jnp(frames: jnp.ndarray) -> jnp.ndarray:
     """frames: [T, H, W, C] uint8 -> [T, C, 16] int32 (test/golden path)."""
     bins = (frames >> 4).astype(jnp.int32)

@@ -282,6 +282,10 @@ class Executor:
                 except Exception:
                     pass  # warmup is best-effort; the job opens its own
 
+        import os as _os
+
+        overlap = not _os.environ.get("ST_TPU_NO_JOB_OVERLAP")
+
         def run_one(job: int, nxt: Optional[int] = None) -> None:
             sink_streams = self._job_sinks(output, job)
             committed = all(s.committed() for s in sink_streams)
@@ -300,7 +304,7 @@ class Executor:
                           if claims is not None else None,
                           warm=warm_decoders,
                           on_decode_drained=(lambda n=nxt: warm_job(n))
-                          if nxt is not None else None)
+                          if (nxt is not None and overlap) else None)
 
         try:
             it = iter(jobs)
