@@ -116,12 +116,20 @@ def main() -> None:
     flow_fps = bench_flow(g[:-1], g[1:])
     flow_cpu = host_flow_fps(g[:-1], g[1:])
 
+    # the reference test-video geometry (tests/test_all.py:175-177)
+    g4 = rng.normal(128, 40, size=(9, 480, 640)).astype(np.float32)
+    g4 = np.clip(g4, 0, 255)
+    flow_fps_480 = bench_flow(g4[:-1], g4[1:])
+    flow_cpu_480 = host_flow_fps(g4[:-1], g4[1:])
+
     print(json.dumps({
         "metric": "histogram_throughput",
         "value": round(hist_fps, 1),
         "unit": "frames/sec/chip (640x480 RGB, device-time slope)",
         "vs_baseline": round(hist_fps / hist_cpu, 2),
         "extras": {
+            "flow_fps_640x480": round(flow_fps_480, 1),
+            "flow_vs_cv2_640x480": round(flow_fps_480 / flow_cpu_480, 2),
             "flow_fps_432x240": round(flow_fps, 1),
             "flow_vs_cv2": round(flow_fps / flow_cpu, 2),
             "methodology": "scan-slope (block_until_ready lies on relays)",

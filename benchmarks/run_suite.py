@@ -6,10 +6,18 @@ histogram / flow / face-detect suite, plus frames/sec/chip per op. Run:
     python benchmarks/run_suite.py [--quick]
 
 Writes benchmarks/results.json and prints a table. Kernel numbers are
-device-resident with per-iteration sync; the e2e number runs the real
+device-resident with per-iteration sync; the e2e numbers run the real
 pipeline (decode -> device -> sink) on a synthesized mp4 and therefore
-includes this environment's host decode (1 CPU core) and tunnel transfer —
+include this environment's host decode (1 CPU core) and tunnel transfer —
 see docs/PERF_NOTES.md §3 before comparing across machines.
+
+Methodology note (round 3): each e2e section executes in a FRESH
+subprocess. A long-lived process on the relayed backend degrades ~10×
+over tens of minutes (measured: the identical flow pipeline ran 7.8 fps
+as the 6th section of a 50-minute process and 87 fps in a fresh one), so
+in-process section ordering used to dominate the numbers. Per-section
+processes isolate that; the persistent compile cache keeps the warm-run
+cost real.
 """
 
 from __future__ import annotations
@@ -17,6 +25,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
 import sys
 import tempfile
 import time
@@ -58,18 +67,12 @@ def device_seconds_per_iter(make_fn, arrays, K1=4, K2=16, reps=3):
     return (runner(K2) - runner(K1)) / (K2 - K1)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--quick", action="store_true")
-    args = ap.parse_args()
-
+def kernel_sections(quick: bool) -> dict:
     import jax
     import jax.numpy as jnp
 
-    import scannertools_tpu as st
-    from scannertools_tpu import testing
     from scannertools_tpu.models import mtcnn, ssd
-    from scannertools_tpu.ops.histogram import histogram
+    from scannertools_tpu.ops.histogram import _histogram_jnp_flat
     from scannertools_tpu.ops.optical_flow import farneback_pairs
     from scannertools_tpu.utils.framechunk import FrameChunk
 
@@ -77,11 +80,8 @@ def main():
     results = {"backend": jax.default_backend(),
                "device": str(jax.devices()[0])}
 
-    # ---- kernel throughputs (480p unless noted), honest device time ----
     frames = rng.integers(0, 256, (64, 480, 640, 3), np.uint8)
     chunk = FrameChunk.from_hwc(frames).device()
-    from scannertools_tpu.ops.histogram import _histogram_jnp_flat
-
     per = device_seconds_per_iter(
         lambda e, flat: _histogram_jnp_flat(
             flat + (e * 1e6).astype(jnp.uint8), chunk.npix, 3),
@@ -90,15 +90,16 @@ def main():
     print(f"{'histogram_fps_640x480':36s} "
           f"{results['histogram_fps_640x480']}", flush=True)
 
-    g = np.clip(rng.normal(128, 40, (9, 240, 432)), 0, 255).astype(np.float32)
-    ga, gb = jnp.asarray(g[:-1]), jnp.asarray(g[1:])
-    per = device_seconds_per_iter(
-        lambda e, a, b: farneback_pairs(a + e, b), [ga, gb], K1=2, K2=6)
-    results["flow_fps_432x240"] = round(8 / per, 1)
-    print(f"{'flow_fps_432x240':36s} {results['flow_fps_432x240']}",
-          flush=True)
+    for tag, (h, w) in (("432x240", (240, 432)), ("640x480", (480, 640))):
+        g = np.clip(rng.normal(128, 40, (9, h, w)), 0, 255).astype(np.float32)
+        ga, gb = jnp.asarray(g[:-1]), jnp.asarray(g[1:])
+        per = device_seconds_per_iter(
+            lambda e, a, b: farneback_pairs(a + e, b), [ga, gb], K1=2, K2=6)
+        results[f"flow_fps_{tag}"] = round(8 / per, 1)
+        print(f"{f'flow_fps_{tag}':36s} {results[f'flow_fps_{tag}']}",
+              flush=True)
 
-    if not args.quick:
+    if not quick:
         det_frames = jnp.asarray(
             rng.integers(0, 256, (8, 240, 320, 3)).astype(np.float32))
         variables = ssd.init_params(jax.random.PRNGKey(0))
@@ -116,132 +117,183 @@ def main():
         results["mtcnn_fps_320x240"] = round(8 / per, 1)
         print(f"{'mtcnn_fps_320x240':36s} {results['mtcnn_fps_320x240']}",
               flush=True)
+    return results
 
-    # ---- end-to-end: decode -> device -> sink (the full executor path).
-    # Three pipelines of the north-star suite (BASELINE.md): shot
-    # detection, optical flow (stencil halos), face detect+embed+gender
-    # (three sinked columns, one decode). Each is warmed once and timed
-    # best-of-3 (the relay link has one-time stalls; PERF_NOTES §3).
-    with tempfile.TemporaryDirectory() as d:
-        sc = st.Client(db_path=os.path.join(d, "db"))
-        # e2e is host/link-bound in this environment — 240 frames measures
-        # the same steady-state fps as longer streams without risking the
-        # suite's wall clock on relay stalls (PERF_NOTES §3)
-        n = 240
-        video, info = testing.ingest_test_video(
-            sc, n=n, w=640, h=480, cuts=(n // 3, 2 * n // 3))
-        pp = st.PerfParams.manual(work_packet_size=64, prefetch_depth=2)
 
-        def timed(build, warm_name, tag, reps=3):
-            build(warm_name)  # warm compile
-            best = float("inf")
-            for i in range(reps):
-                t0 = time.perf_counter()
-                build(f"{tag}{i}")
-                best = min(best, time.perf_counter() - t0)
-            return best
+# ------------------------------------------------------------ e2e sections
 
-        def section(key, fn):
-            # one pathological section (relay stall) must not kill the
-            # suite; partial results still print + persist
-            try:
-                results[key] = fn()
-            except Exception as e:  # pragma: no cover - env failures
-                results[key] = f"failed: {type(e).__name__}"
-            print(f"{key:36s} {results[key]}", flush=True)
+def _e2e_client():
+    import scannertools_tpu as st
+    from scannertools_tpu import testing
 
-        def shots_run(name):
-            frame = sc.io.Input([video])
-            hist = sc.ops.Histogram(frame=frame)
-            shots = sc.ops.ShotBoundaries(histograms=hist)
-            sc.run(sc.io.Output(shots, [st.NamedStream(sc, name)]), pp,
-                   cache_mode=st.CacheMode.Overwrite)
+    d = tempfile.mkdtemp()
+    sc = st.Client(db_path=os.path.join(d, "db"))
+    return st, testing, sc
 
-        def do_shots():
-            wall = timed(shots_run, "w_sh", "t_sh")
-            results["e2e_video_hours_per_hour"] = round((n / 24.0) / wall, 1)
-            return round(n / wall, 1)
 
-        section("e2e_shot_detect_fps_640x480", do_shots)
+def _timed(build, reps=3):
+    build("warm")  # warm compile
+    best = float("inf")
+    for i in range(reps):
+        t0 = time.perf_counter()
+        build(f"t{i}")
+        best = min(best, time.perf_counter() - t0)
+    return best
 
-        def flow_hist_run(name):
-            # flow consumed ON DEVICE (FlowHistogram), tiny sink — the
-            # production analytics pattern; decode+stencil+compute bound
-            frame = sc.io.Input([video])
-            flow = sc.ops.OpticalFlow(frame=frame)
-            fh = sc.ops.FlowHistogram(flow=flow)
-            sc.run(sc.io.Output(fh, [st.NamedStream(sc, name)]), pp,
-                   cache_mode=st.CacheMode.Overwrite)
 
-        section("e2e_flow_hist_fps_640x480",
-                lambda: round(n / timed(flow_hist_run, "w_fh", "t_fh"), 1))
+def section_shots() -> dict:
+    st, testing, sc = _e2e_client()
+    n = 240
+    video, _ = testing.ingest_test_video(sc, n=n, w=640, h=480,
+                                         cuts=(n // 3, 2 * n // 3))
+    pp = st.PerfParams.manual(work_packet_size=64, prefetch_depth=2)
 
-        def flow_store_run(name):
-            # sinks the full flow fields like the reference's flow
-            # pipeline (2.4 MB/frame at 480p — readback + IO included;
-            # on this rig that is relay-readback-bound, PERF_NOTES §3)
-            frame = sc.io.Input([video])
-            flow = sc.ops.OpticalFlow(frame=frame)
-            sc.run(sc.io.Output(flow, [st.NamedStream(sc, name)]), pp,
-                   cache_mode=st.CacheMode.Overwrite)
+    def run(name):
+        frame = sc.io.Input([video])
+        hist = sc.ops.Histogram(frame=frame)
+        shots = sc.ops.ShotBoundaries(histograms=hist)
+        sc.run(sc.io.Output(shots, [st.NamedStream(sc, name)]), pp,
+               cache_mode=st.CacheMode.Overwrite)
 
-        section("e2e_flow_store_fps_640x480",
-                lambda: round(n / timed(flow_store_run, "w_fl", "t_fl",
-                                        reps=1), 1))
+    wall = _timed(run)
+    return {"e2e_shot_detect_fps_640x480": round(n / wall, 1),
+            "e2e_video_hours_per_hour": round((n / 24.0) / wall, 1)}
 
-        if not args.quick:
-            def face_run(name):
-                frame = sc.io.Input([video])
-                faces = sc.ops.MTCNNDetectFaces(frame=frame)
-                embs = sc.ops.EmbedFaces(frame=frame, bboxes=faces)
-                genders = sc.ops.DetectGender(frame=frame, bboxes=faces)
-                sc.run(sc.io.Output(
-                    [faces, embs, genders],
-                    [(st.NamedStream(sc, name + "f"),
-                      st.NamedStream(sc, name + "e"),
-                      st.NamedStream(sc, name + "g"))]), pp,
-                    cache_mode=st.CacheMode.Overwrite)
 
-            section("e2e_face_suite_fps_640x480",
-                    lambda: round(n / timed(face_run, "w_fa", "t_fa",
-                                            reps=2), 1))
+def section_flow_hist() -> dict:
+    st, testing, sc = _e2e_client()
+    n = 240
+    video, _ = testing.ingest_test_video(sc, n=n, w=640, h=480, cuts=(120,))
+    pp = st.PerfParams.manual(work_packet_size=64, prefetch_depth=2)
 
-        # ---- multi-video job-boundary overlap (ROADMAP #7): 3 jobs in one
-        # run; the decode thread pre-opens job N+1's decoder when job N's
-        # last chunk is decoded. A/B via ST_TPU_NO_JOB_OVERLAP.
-        n3 = 96
-        vids = [testing.ingest_test_video(
-            sc, n=n3, w=640, h=480, cuts=(n3 // 2,), name=f"mv{j}")[0]
-            for j in range(3)]
+    def run(name):
+        frame = sc.io.Input([video])
+        flow = sc.ops.OpticalFlow(frames=frame)
+        fh = sc.ops.FlowHistogram(flow=flow)
+        sc.run(sc.io.Output(fh, [st.NamedStream(sc, name)]), pp,
+               cache_mode=st.CacheMode.Overwrite)
 
-        def three_video_run(name):
-            frame = sc.io.Input(vids)
-            hist = sc.ops.Histogram(frame=frame)
-            shots = sc.ops.ShotBoundaries(histograms=hist)
-            sc.run(sc.io.Output(
-                shots, [st.NamedStream(sc, f"{name}_{j}") for j in range(3)]),
-                pp, cache_mode=st.CacheMode.Overwrite)
+    return {"e2e_flow_hist_fps_640x480": round(n / _timed(run), 1)}
 
-        def do_three(flag):
-            prev = os.environ.pop("ST_TPU_NO_JOB_OVERLAP", None)
-            if flag:
-                os.environ["ST_TPU_NO_JOB_OVERLAP"] = "1"
-            try:
-                return round(3 * n3 / timed(three_video_run,
-                                            f"w3{flag}", f"t3{flag}"), 1)
-            finally:
-                os.environ.pop("ST_TPU_NO_JOB_OVERLAP", None)
-                if prev is not None:
-                    os.environ["ST_TPU_NO_JOB_OVERLAP"] = prev
 
-        section("e2e_3video_shot_fps_overlap", lambda: do_three(False))
-        section("e2e_3video_shot_fps_no_overlap", lambda: do_three(True))
+def section_flow_store() -> dict:
+    st, testing, sc = _e2e_client()
+    n = 240
+    video, _ = testing.ingest_test_video(sc, n=n, w=640, h=480, cuts=(120,))
+    pp = st.PerfParams.manual(work_packet_size=64, prefetch_depth=2)
 
-        totals = sc.profiler.totals()
-        results["e2e_decode_seconds"] = round(totals.get("source:read", 0), 2)
-        results["e2e_device_seconds"] = round(
-            sum(v for k, v in totals.items() if k.startswith("device:")), 2)
+    def run(name):
+        frame = sc.io.Input([video])
+        flow = sc.ops.OpticalFlow(frames=frame)
+        sc.run(sc.io.Output(flow, [st.NamedStream(sc, name)]), pp,
+               cache_mode=st.CacheMode.Overwrite)
 
+    return {"e2e_flow_store_fps_640x480": round(n / _timed(run, reps=1), 1)}
+
+
+def section_face() -> dict:
+    st, testing, sc = _e2e_client()
+    n = 240
+    video, _ = testing.ingest_test_video(sc, n=n, w=640, h=480, cuts=(120,))
+    pp = st.PerfParams.manual(work_packet_size=64, prefetch_depth=2)
+
+    def run(name):
+        frame = sc.io.Input([video])
+        faces = sc.ops.MTCNNDetectFaces(frame=frame)
+        embs = sc.ops.EmbedFaces(frame=frame, bboxes=faces)
+        genders = sc.ops.DetectGender(frame=frame, bboxes=faces)
+        sc.run(sc.io.Output(
+            [faces, embs, genders],
+            [(st.NamedStream(sc, name + "f"),
+              st.NamedStream(sc, name + "e"),
+              st.NamedStream(sc, name + "g"))]), pp,
+            cache_mode=st.CacheMode.Overwrite)
+
+    return {"e2e_face_suite_fps_640x480": round(n / _timed(run, reps=2), 1)}
+
+
+def section_three_video() -> dict:
+    """Multi-video job-boundary overlap (ROADMAP #7): 3 jobs in one run;
+    the decode thread pre-opens job N+1's decoder when job N's last chunk
+    is decoded. A/B via ST_TPU_NO_JOB_OVERLAP."""
+    st, testing, sc = _e2e_client()
+    n3 = 96
+    vids = [testing.ingest_test_video(
+        sc, n=n3, w=640, h=480, cuts=(n3 // 2,), name=f"mv{j}")[0]
+        for j in range(3)]
+    pp = st.PerfParams.manual(work_packet_size=64, prefetch_depth=2)
+
+    def run(name):
+        frame = sc.io.Input(vids)
+        hist = sc.ops.Histogram(frame=frame)
+        shots = sc.ops.ShotBoundaries(histograms=hist)
+        sc.run(sc.io.Output(
+            shots, [st.NamedStream(sc, f"{name}_{j}") for j in range(3)]),
+            pp, cache_mode=st.CacheMode.Overwrite)
+
+    out = {}
+    for key, flag in (("e2e_3video_shot_fps_overlap", False),
+                      ("e2e_3video_shot_fps_no_overlap", True)):
+        os.environ.pop("ST_TPU_NO_JOB_OVERLAP", None)
+        if flag:
+            os.environ["ST_TPU_NO_JOB_OVERLAP"] = "1"
+        try:
+            out[key] = round(3 * n3 / _timed(lambda nm, k=key: run(k + nm)),
+                             1)
+        finally:
+            os.environ.pop("ST_TPU_NO_JOB_OVERLAP", None)
+    return out
+
+
+SECTIONS = {
+    "shots": section_shots,
+    "flow_hist": section_flow_hist,
+    "flow_store": section_flow_store,
+    "face": section_face,
+    "three_video": section_three_video,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--section", default=None,
+                    help="internal: run one e2e section and print JSON")
+    args = ap.parse_args()
+
+    if args.section:
+        print("RESULT " + json.dumps(SECTIONS[args.section]()))
+        return
+
+    results = kernel_sections(args.quick)
+
+    sections = ["shots", "flow_hist", "flow_store"]
+    if not args.quick:
+        sections += ["face"]
+    sections += ["three_video"]
+    for name in sections:
+        # fresh subprocess per section: long-lived relay processes degrade
+        # ~10x (module docstring) and would poison later sections
+        try:
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--section", name],
+                capture_output=True, text=True, timeout=2400,
+            )
+            line = [l for l in res.stdout.splitlines()
+                    if l.startswith("RESULT ")]
+            if not line:
+                raise RuntimeError(res.stdout[-500:] + res.stderr[-500:])
+            got = json.loads(line[0][len("RESULT "):])
+        except Exception as e:  # pragma: no cover - env failures
+            got = {f"section_{name}": f"failed: {type(e).__name__}"}
+        for k, v in got.items():
+            results[k] = v
+            print(f"{k:36s} {v}", flush=True)
+
+    results["methodology"] = (
+        "kernel: scan-slope device time; e2e: wall clock, fresh "
+        "subprocess per section (relay-session degradation isolation)")
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "results.json")
     with open(out_path, "w") as f:

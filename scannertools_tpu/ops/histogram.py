@@ -8,10 +8,11 @@ TPU-native design: bin index is ``pixel >> 4``; input is the FrameChunk byte
 stream ``[T, rows, 128] uint8`` (see utils/framechunk.py — NHWC u8 would
 relayout catastrophically). Two implementations:
 
-  * ``_histogram_jnp_flat`` — one-hot compare fused into the reduction
-    (any backend, incl. relayed TPUs where Mosaic is unavailable):
-    ~20 GB/s / ~22k fps at 480p measured honestly (scan-slope timing);
-    a byte-field-packed XLA variant was tried and lowers 3× slower.
+  * ``_histogram_jnp_flat`` — 16-way u8 one-hot (VPU) contracted against a
+    constant channel/validity mask on the MXU (any backend, incl. relayed
+    TPUs where Mosaic is unavailable): 79.5k fps / ~73 GB/s at 480p
+    measured honestly (scan-slope timing), 3.5× the previous 48-way
+    compare-reduce; see the function docstring for the measured ladder.
   * ``_histogram_pallas`` — single-pass VMEM kernel, one HBM read per pixel
     byte. Packed-counter trick: the 48 (channel, bin) codes are counted
     4-at-a-time in the byte fields of int32 lanes (no scatter, which Mosaic
@@ -46,35 +47,6 @@ BINS = 16
 _TILE = 224
 
 
-def _flat_codes(flat: jnp.ndarray, npix: int, c: int):
-    """bin/channel codes for a [T, rows, 128] byte-stream view."""
-    t, rows, lanes = flat.shape
-    pos = (
-        lax.broadcasted_iota(jnp.int32, (rows, lanes), 0) * lanes
-        + lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
-    )
-    chan = pos % c
-    valid = pos < npix
-    return chan, valid
-
-
-def _histogram_jnp_flat(flat: jnp.ndarray, npix: int, c: int = 3) -> jnp.ndarray:
-    """flat: [T, rows, 128] uint8 -> [T, c, 16] int32.
-
-    One-hot compare fused into the reduction. Empirically the fastest XLA
-    formulation on TPU for this op: a byte-field-packed variant (the
-    pallas kernel's trick in pure XLA) lowers ~3× SLOWER here — int32
-    shift/select chains beat 48 bool-compares only inside Mosaic, where
-    the accumulator lives in VMEM across grid steps.
-    """
-    chan, valid = _flat_codes(flat, npix, c)
-    b = (flat >> 4).astype(jnp.int32)  # [T,rows,128]
-    code = jnp.where(valid, chan * BINS + b, c * BINS)  # invalid -> dead code
-    iota = jnp.arange(c * BINS, dtype=jnp.int32)
-    onehot = code[..., None] == iota  # fused into the reduce
-    return jnp.sum(onehot, axis=(1, 2), dtype=jnp.int32).reshape(-1, c, BINS)
-
-
 @functools.lru_cache(maxsize=16)
 def _chan_mask_np(rows: int, lanes: int, npix: int, c: int) -> np.ndarray:
     """[c, rows, lanes] 0/1 mask: byte (r,l) belongs to channel k and is a
@@ -85,18 +57,25 @@ def _chan_mask_np(rows: int, lanes: int, npix: int, c: int) -> np.ndarray:
                     ).astype(np.float32)
 
 
-def _histogram_mxu_flat(flat: jnp.ndarray, npix: int, c: int = 3
-                        ) -> jnp.ndarray:
-    """MXU formulation: hist[t,k,i] = Σ_p chan_mask[k,p] · (bin(p)==i).
+def _histogram_jnp_flat(flat: jnp.ndarray, npix: int, c: int = 3) -> jnp.ndarray:
+    """flat: [T, rows, 128] uint8 -> [T, c, 16] int32.
 
-    The 48-way one-hot compare of ``_histogram_jnp_flat`` splits into a
-    16-way bin one-hot (VPU, 3× fewer compares) contracted against a
-    CONSTANT channel mask on the MXU (dot_general over the pixel axis;
-    bf16 products exactly represent 0/1, f32 accumulation is exact below
-    2^24 counts/bin)."""
+    Production XLA path (round-3 winner, docs/PERF_NOTES.md §2): a 16-way
+    u8 one-hot compare (VPU) contracted against a CONSTANT channel/validity
+    mask on the MXU. Channel attribution and the pixel-count mask ride the
+    matmul's lhs for free, so per-byte VPU work drops from the old 48-way
+    code compare to 16 — measured 79.5k fps/chip @480p vs 22.7k for the
+    48-way reduce (scan-slope timing; bf16 products are exact 0/1, f32
+    accumulation exact below 2^24 counts/bin). Measured ladder of the
+    alternatives: int8 MXU 71k, lane-major one-hot 73k, row-stripe VPU 46k,
+    byte-field packing 3× slower than even the 48-way baseline. At 79.5k
+    the op runs at the VPU's ~1 compare/byte/bin floor — going further
+    needs fewer ops per byte than a 16-way compare, which XLA cannot
+    express profitably (the pallas packed-counter kernel is that path;
+    gated off on relayed backends)."""
     t, rows, lanes = flat.shape
-    b = (flat >> 4).astype(jnp.int32)
-    iota = jnp.arange(BINS, dtype=jnp.int32)
+    b = flat >> 4  # u8 nibble, compared as u8 (no i32 widen)
+    iota = jnp.arange(BINS, dtype=jnp.uint8)
     onehot = (b[..., None] == iota).astype(jnp.bfloat16)
     mask = jnp.asarray(_chan_mask_np(rows, lanes, npix, c), jnp.bfloat16)
     out = lax.dot_general(
@@ -106,36 +85,6 @@ def _histogram_mxu_flat(flat: jnp.ndarray, npix: int, c: int = 3
         preferred_element_type=jnp.float32,
     )  # [c, T, 16]
     return out.transpose(1, 0, 2).astype(jnp.int32)
-
-
-def _histogram_stripe_flat(flat: jnp.ndarray, npix: int, c: int = 3
-                           ) -> jnp.ndarray:
-    """Row-stripe formulation: rows r ≡ m (mod 3) have the fixed per-lane
-    channel pattern chan = (2m + lane) % 3 (because 128 % 3 == 2), so each
-    stripe needs only a 16-way bin one-hot reduced over its rows — channel
-    attribution happens in a tiny per-lane epilogue."""
-    t, rows, lanes = flat.shape
-    pad = (-rows) % 3
-    if pad:
-        flat = jnp.pad(flat, ((0, 0), (0, pad), (0, 0)))
-    iota = jnp.arange(BINS + 1, dtype=jnp.int32)
-    lane_pos = np.arange(lanes)
-    out = jnp.zeros((t, c, BINS), jnp.int32)
-    for m in range(3):
-        sub = flat[:, m::3, :]  # [T, rows/3, 128]
-        # validity: byte index of (q, m, l) is (3q+m)*128 + l
-        q = np.arange(sub.shape[1])
-        pos = ((3 * q[:, None] + m) * lanes + lane_pos[None, :])
-        valid = jnp.asarray(pos < npix)
-        b = jnp.where(valid, (sub >> 4).astype(jnp.int32), BINS)
-        cnt = jnp.sum(b[..., None] == iota, axis=1, dtype=jnp.int32
-                      )  # [T, 128, 17]
-        chan = (2 * m + lane_pos) % c  # [128]
-        sel = jnp.asarray(
-            np.stack([chan == k for k in range(c)]).astype(np.int32)
-        )  # [c, 128]
-        out = out + jnp.einsum("tlb,kl->tkb", cnt[..., :BINS], sel)
-    return out
 
 
 def _histogram_jnp(frames: jnp.ndarray) -> jnp.ndarray:

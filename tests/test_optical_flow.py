@@ -75,3 +75,29 @@ def test_flow_pipeline(sc, texture_video):
     assert abs(np.median(np.abs(inner[..., 0])) - 1.0) < 0.3, \
         np.median(inner[..., 0])
     assert np.abs(np.median(inner[..., 1])) < 0.3
+
+
+def test_shift_warp_matches_gather_and_recovers_large_motion():
+    """The default shift-warp (warp_px=16) tracks the exact gather warp's
+    results on the goldens, and recovers a 10-px translation (motion well
+    past the per-iteration increment but inside the warp bound)."""
+    import jax
+    import jax.numpy as jnp
+
+    from scannertools_tpu.ops.optical_flow import farneback_pairs
+
+    g0, g1 = _make_pair((2.3, -1.7))
+    fast = np.asarray(jax.jit(farneback_pairs)(
+        jnp.asarray(g0[None]), jnp.asarray(g1[None])))[0]
+    exact = np.asarray(jax.jit(
+        lambda a, b: farneback_pairs(a, b, warp_px=0))(
+        jnp.asarray(g0[None]), jnp.asarray(g1[None])))[0]
+    d = np.abs(fast[24:-24, 24:-24] - exact[24:-24, 24:-24])
+    assert np.median(d) < 0.05, np.median(d)
+
+    g0, g1 = _make_pair((10.4, -6.2), hw=(240, 320), seed=7)
+    flow = np.asarray(jax.jit(farneback_pairs)(
+        jnp.asarray(g0[None]), jnp.asarray(g1[None])))[0]
+    err = np.linalg.norm(flow[40:-40, 40:-40] - np.array([10.4, -6.2]),
+                         axis=-1)
+    assert np.median(err) < 0.2, np.median(err)
