@@ -87,31 +87,35 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh: float,
 def crop_and_resize(image: jnp.ndarray, boxes: jnp.ndarray, out_hw) -> jnp.ndarray:
     """image: [H,W,C]; boxes: [K,4] (x1,y1,x2,y2) in pixels ->
     [K, oh, ow, C] bilinear crops (degenerate boxes give zeros-safe output).
-    """
+
+    Formulated as two hat-matrix contractions on the MXU instead of
+    per-pixel gathers: bilinear resampling along an axis is the sparse
+    matrix ``R[i, y] = max(0, 1 - |ys_i - y|)`` (exactly the floor/ceil
+    two-tap weights), so a crop is ``Ry @ image @ Rxᵀ``. TPU random-access
+    gathers cost ~10 cycles/index — the gather version measured 22 ms for
+    256 24×24 crops over 8 480p frames where this runs ~1 ms, and it was
+    the dominant cost of the whole MTCNN cascade (docs/PERF_NOTES.md §2c).
+    HIGHEST matmul precision keeps f32-exact bilinear values."""
     oh, ow = out_hw
     H, W, C = image.shape
+    hh = jnp.arange(H, dtype=jnp.float32)
+    ww = jnp.arange(W, dtype=jnp.float32)
 
-    def one(box):
+    def weights(box):
         x1, y1, x2, y2 = box[0], box[1], box[2], box[3]
-        ys = y1 + (y2 - y1) * (jnp.arange(oh) + 0.5) / oh - 0.5
-        xs = x1 + (x2 - x1) * (jnp.arange(ow) + 0.5) / ow - 0.5
-        ys = jnp.clip(ys, 0.0, H - 1.0)
-        xs = jnp.clip(xs, 0.0, W - 1.0)
-        y0 = jnp.floor(ys).astype(jnp.int32)
-        x0 = jnp.floor(xs).astype(jnp.int32)
-        y1i = jnp.minimum(y0 + 1, H - 1)
-        x1i = jnp.minimum(x0 + 1, W - 1)
-        wy = (ys - y0)[:, None, None]
-        wx = (xs - x0)[None, :, None]
-        v00 = image[y0][:, x0]
-        v01 = image[y0][:, x1i]
-        v10 = image[y1i][:, x0]
-        v11 = image[y1i][:, x1i]
-        top = v00 * (1 - wx) + v01 * wx
-        bot = v10 * (1 - wx) + v11 * wx
-        return top * (1 - wy) + bot * wy
+        ys = jnp.clip(y1 + (y2 - y1) * (jnp.arange(oh) + 0.5) / oh - 0.5,
+                      0.0, H - 1.0)
+        xs = jnp.clip(x1 + (x2 - x1) * (jnp.arange(ow) + 0.5) / ow - 0.5,
+                      0.0, W - 1.0)
+        ry = jnp.maximum(0.0, 1.0 - jnp.abs(ys[:, None] - hh[None, :]))
+        rx = jnp.maximum(0.0, 1.0 - jnp.abs(xs[:, None] - ww[None, :]))
+        return ry, rx
 
-    return jax.vmap(one)(boxes)
+    ry, rx = jax.vmap(weights)(boxes)  # [K, oh, H], [K, ow, W]
+    tmp = jnp.einsum("kyh,hwc->kywc", ry, image,
+                     precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("kxw,kywc->kyxc", rx, tmp,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def topk_boxes(boxes: jnp.ndarray, scores: jnp.ndarray, k: int):
