@@ -122,12 +122,16 @@ def kernel_sections(quick: bool) -> dict:
 
 # ------------------------------------------------------------ e2e sections
 
+_TMPDIRS = []  # keep TemporaryDirectory finalizers alive until exit
+
+
 def _e2e_client():
     import scannertools_tpu as st
     from scannertools_tpu import testing
 
-    d = tempfile.mkdtemp()
-    sc = st.Client(db_path=os.path.join(d, "db"))
+    tmp = tempfile.TemporaryDirectory()  # removed at process exit
+    _TMPDIRS.append(tmp)
+    sc = st.Client(db_path=os.path.join(tmp.name, "db"))
     return st, testing, sc
 
 

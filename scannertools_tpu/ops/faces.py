@@ -139,23 +139,31 @@ def _build_mtcnn(inputs, params, device):
 def bboxes_to_padded(ctx, bboxes, max_boxes: int = MAX_FACES):
     """Per-frame BoundingBox proto lists -> padded device arrays
     (nboxes [T,K,4], valid [T,K]) for crop-net forwards whose boxes did not
-    come from an in-graph detector."""
+    come from an in-graph detector. Raises (rather than silently dropping
+    boxes) when a frame exceeds ``max_boxes`` — pass a bigger cap on the
+    consuming op (EmbedFaces/DetectGender ``max_boxes=``)."""
     t = len(bboxes)
+    over = max((len(lst) for lst in bboxes), default=0)
+    if over > max_boxes:
+        raise ValueError(
+            f"a frame carries {over} bboxes but the padded crop capacity "
+            f"is max_boxes={max_boxes}; raise max_boxes on the op")
     nb = np.zeros((t, max_boxes, 4), np.float32)
     v = np.zeros((t, max_boxes), bool)
     for i, lst in enumerate(bboxes):
-        for j, b in enumerate(lst[:max_boxes]):
+        for j, b in enumerate(lst):
             nb[i, j] = (b.x1, b.y1, b.x2, b.y2)
             v[i, j] = True
     return nb, v
 
 
-def _device_boxes(bb: NodeOutput):
+def _device_boxes(bb: NodeOutput, max_boxes: int = MAX_FACES):
     """Rewire to the MTCNN forward's device arrays when ``bboxes`` comes from
     MTCNNDetectFaces; otherwise adapt host protos to padded arrays."""
     if isinstance(bb.node, OpNode) and bb.node.name == "MTCNNDecode":
         return bb.node.inputs["nboxes"], bb.node.inputs["valid"]
-    conv = OpNode("BboxesToPadded", {"bboxes": bb}, {"max_boxes": MAX_FACES})
+    conv = OpNode("BboxesToPadded", {"bboxes": bb},
+                  {"max_boxes": max_boxes})
     return NodeOutput(conv, 0), NodeOutput(conv, 1)
 
 
@@ -249,10 +257,12 @@ def embed_decode(ctx, embs, valid):
 
 @register_composite("EmbedFaces")
 def _build_embed(inputs, params, device):
-    nboxes, valid = _device_boxes(inputs["bboxes"])
+    params = dict(params)
+    mb = params.pop("max_boxes", MAX_FACES)
+    nboxes, valid = _device_boxes(inputs["bboxes"], mb)
     fwd = OpNode("FaceEmbedForward",
                  {"frame": inputs["frame"], "nboxes": nboxes, "valid": valid},
-                 dict(params), device=device)
+                 params, device=device)
     return OpNode("EmbedDecode", {"embs": NodeOutput(fwd, 0),
                                   "valid": NodeOutput(fwd, 1)}, {})
 
@@ -294,9 +304,11 @@ def gender_decode(ctx, labels, valid):
 
 @register_composite("DetectGender")
 def _build_gender(inputs, params, device):
-    nboxes, valid = _device_boxes(inputs["bboxes"])
+    params = dict(params)
+    mb = params.pop("max_boxes", MAX_FACES)
+    nboxes, valid = _device_boxes(inputs["bboxes"], mb)
     fwd = OpNode("GenderForward",
                  {"frame": inputs["frame"], "nboxes": nboxes, "valid": valid},
-                 dict(params), device=device)
+                 params, device=device)
     return OpNode("GenderDecode", {"labels": NodeOutput(fwd, 0),
                                    "valid": NodeOutput(fwd, 1)}, {})

@@ -74,6 +74,11 @@ def _histogram_jnp_flat(flat: jnp.ndarray, npix: int, c: int = 3) -> jnp.ndarray
     express profitably (the pallas packed-counter kernel is that path;
     gated off on relayed backends)."""
     t, rows, lanes = flat.shape
+    if npix // c >= (1 << 24):
+        # f32 accumulation is exact only below 2^24 counts per
+        # (channel, bin); frames past ~16.7M px/channel (8K+) take the
+        # exact int32 compare-reduce instead of a silently-rounded MXU sum
+        return _histogram_jnp_flat_exact(flat, npix, c)
     b = flat >> 4  # u8 nibble, compared as u8 (no i32 widen)
     iota = jnp.arange(BINS, dtype=jnp.uint8)
     onehot = (b[..., None] == iota).astype(jnp.bfloat16)
@@ -85,6 +90,24 @@ def _histogram_jnp_flat(flat: jnp.ndarray, npix: int, c: int = 3) -> jnp.ndarray
         preferred_element_type=jnp.float32,
     )  # [c, T, 16]
     return out.transpose(1, 0, 2).astype(jnp.int32)
+
+
+def _histogram_jnp_flat_exact(flat: jnp.ndarray, npix: int,
+                              c: int = 3) -> jnp.ndarray:
+    """Exact int32 48-way compare-reduce (the pre-MXU formulation) for
+    frames too large for f32 accumulation (see _histogram_jnp_flat)."""
+    t, rows, lanes = flat.shape
+    pos = (
+        lax.broadcasted_iota(jnp.int32, (rows, lanes), 0) * lanes
+        + lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
+    )
+    chan = pos % c
+    valid = pos < npix
+    b = (flat >> 4).astype(jnp.int32)
+    code = jnp.where(valid, chan * BINS + b, c * BINS)
+    iota = jnp.arange(c * BINS, dtype=jnp.int32)
+    onehot = code[..., None] == iota
+    return jnp.sum(onehot, axis=(1, 2), dtype=jnp.int32).reshape(-1, c, BINS)
 
 
 def _histogram_jnp(frames: jnp.ndarray) -> jnp.ndarray:

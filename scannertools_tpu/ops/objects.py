@@ -149,10 +149,13 @@ def maskrcnn_decode(ctx, boxes, scores, labels, masks, dims,
                 x2=float(nb[2]), y2=float(nb[3]),
                 score=float(scores[i][k]), label=int(labels[i][k]))
             canvas = np.zeros((mh, mw), np.float32)
-            x1 = int(bb.x1 * mw)
-            y1 = int(bb.y1 * mh)
-            x2 = max(int(bb.x2 * mw), x1 + 1)
-            y2 = max(int(bb.y2 * mh), y1 + 1)
+            # clamp the paste origin inside the canvas: a detection at the
+            # content edge has normalized x1/y1 == 1.0, and int(1.0*mw)
+            # would make a zero-width slice (broadcast crash)
+            x1 = min(int(bb.x1 * mw), mw - 1)
+            y1 = min(int(bb.y1 * mh), mh - 1)
+            x2 = min(max(int(bb.x2 * mw), x1 + 1), mw)
+            y2 = min(max(int(bb.y2 * mh), y1 + 1), mh)
             m = cv2.resize(np.asarray(masks[i][k], np.float32),
                            (x2 - x1, y2 - y1))
             canvas[y1:y2, x1:x2] = m

@@ -174,8 +174,18 @@ def _crop_batch_device(frames_f32: jnp.ndarray, items: jnp.ndarray,
     pipeline, cpm2_input_kernel_gpu.cpp:87). ``items``: [K, 5] rows of
     (frame_idx, x0, y0, x1, y1) with normalized boxes -> [K, size, size, 3]
     crops in [-0.5, 0.5]; samples outside the frame read gray(128), matching
-    the host path's gray-padded crop buffer."""
+    the host path's gray-padded crop buffer.
+
+    Same hat-matrix MXU formulation as models/common.crop_and_resize (TPU
+    gathers are ~10 cycles/index, PERF_NOTES §2c): unclipped sample
+    coordinates make out-of-frame hat weights vanish, and the gray border
+    enters as the coverage complement ``(1 - covy·covx)·128`` — exactly
+    the 4-tap inside/outside blend, since tap inside-ness factors per
+    axis."""
     _, H, W, _ = frames_f32.shape
+    hh = jnp.arange(H, dtype=jnp.float32)
+    ww = jnp.arange(W, dtype=jnp.float32)
+    hp = jax.lax.Precision.HIGHEST
 
     def one(it):
         fi = it[0].astype(jnp.int32)
@@ -188,20 +198,13 @@ def _crop_batch_device(frames_f32: jnp.ndarray, items: jnp.ndarray,
         # cv2.resize sampling: dst i -> crop-local (i+0.5)*scale - 0.5
         ys = y0 + bh * (jnp.arange(size) + 0.5) / size - 0.5
         xs = x0 + bw * (jnp.arange(size) + 0.5) / size - 0.5
-        y0i = jnp.floor(ys).astype(jnp.int32)
-        x0i = jnp.floor(xs).astype(jnp.int32)
-        wy = (ys - y0i)[:, None, None]
-        wx = (xs - x0i)[None, :, None]
-
-        def tap(yy, xx):
-            inside = ((yy >= 0) & (yy < H))[:, None, None] & \
-                     ((xx >= 0) & (xx < W))[None, :, None]
-            v = img[jnp.clip(yy, 0, H - 1)][:, jnp.clip(xx, 0, W - 1)]
-            return jnp.where(inside, v, 128.0)
-
-        top = tap(y0i, x0i) * (1 - wx) + tap(y0i, x0i + 1) * wx
-        bot = tap(y0i + 1, x0i) * (1 - wx) + tap(y0i + 1, x0i + 1) * wx
-        return (top * (1 - wy) + bot * wy) / 255.0 - 0.5
+        ry = jnp.maximum(0.0, 1.0 - jnp.abs(ys[:, None] - hh[None, :]))
+        rx = jnp.maximum(0.0, 1.0 - jnp.abs(xs[:, None] - ww[None, :]))
+        tmp = jnp.einsum("yh,hwc->ywc", ry, img, precision=hp)
+        out = jnp.einsum("xw,ywc->yxc", rx, tmp, precision=hp)
+        cov = ry.sum(axis=1)[:, None] * rx.sum(axis=1)[None, :]
+        out = out + (1.0 - cov)[..., None] * 128.0
+        return out / 255.0 - 0.5
 
     return jax.vmap(one)(items)
 

@@ -322,19 +322,32 @@ class Executor:
             warm_decoders.clear()
 
         if claims is not None:
-            # Elastic retry passes: a dead host's claims go stale (no
-            # heartbeat) — reap them and absorb the jobs, so the run
-            # completes without manual intervention (the reference master's
-            # worker-loss reassignment, SURVEY §2j). Committed jobs are
-            # never reaped. Uncommitted-but-claimed jobs whose holder is
-            # alive keep heartbeating and survive every pass.
+            # Elastic completion: a claims-mode run returns only when EVERY
+            # job is committed (the reference master waits for all work).
+            # A dead host's claims go stale (no heartbeat) — reap them and
+            # absorb the jobs, so the run completes without manual
+            # intervention (worker-loss reassignment, SURVEY §2j).
+            # Committed jobs are never reaped; uncommitted-but-claimed jobs
+            # whose holder is alive keep heartbeating, so this host just
+            # waits on them (and re-checks for staleness each pass).
+            import time as _time
+
             def _committed(j: int) -> bool:
                 return all(s.committed() for s in self._job_sinks(output, j))
 
-            while claims.reclaim_stale(older_than_sec=claim_timeout_sec,
-                                       is_committed=_committed) > 0:
+            while True:
+                if all(_committed(j) for j in range(n_jobs)):
+                    break
+                claims.reclaim_stale(older_than_sec=claim_timeout_sec,
+                                     is_committed=_committed)
+                progressed = False
                 for job in claims.iter_jobs(n_jobs):
                     run_one(job)
+                    progressed = True
+                if not progressed:
+                    # remaining jobs are claimed by live (heartbeating)
+                    # hosts — wait for them to commit or go stale
+                    _time.sleep(min(5.0, max(0.5, claim_timeout_sec / 4)))
 
     def _job_sinks(self, output: OutputNode, job: int):
         s = output.streams[job]

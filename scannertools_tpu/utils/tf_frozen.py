@@ -47,13 +47,18 @@ def _parse_tensorproto(buf: memoryview) -> Optional[np.ndarray]:
                 scalars.append(
                     float(np.frombuffer(bytes(payload), "<f4")[0]))
         elif field == 6 and wt in (0, 2):  # int_val
+            def signed(v: int) -> int:
+                # protobuf encodes negative int32/int64 as 64-bit
+                # two's-complement varints
+                return v - (1 << 64) if v >= (1 << 63) else v
+
             if wt == 0:
-                scalars.append(int(payload))
+                scalars.append(signed(int(payload)))
             else:
                 pos = 0
                 while pos < len(payload):
                     v, pos = _read_varint(payload, pos)
-                    scalars.append(v)
+                    scalars.append(signed(v))
     np_dtype = {1: np.float32, 3: np.int32}.get(dtype)
     if np_dtype is None:
         return None

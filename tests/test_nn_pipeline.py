@@ -85,3 +85,18 @@ def test_embed_budget_compaction():
     assert not lim[0, 2:].any()
     # invalid slots are zero either way
     assert not full[0, 4:].any()
+
+
+def test_bboxes_to_padded_overflow_raises():
+    """External bbox sources beyond the padded capacity raise instead of
+    silently truncating (pass max_boxes= on the op to widen)."""
+    import pytest
+
+    from scannertools_tpu.ops.faces import bboxes_to_padded
+    from scannertools_tpu.protobufs import BoundingBox
+
+    boxes = [[BoundingBox(x1=0, y1=0, x2=0.1, y2=0.1, score=1.0)] * 40]
+    with pytest.raises(ValueError, match="max_boxes"):
+        bboxes_to_padded(None, boxes, max_boxes=32)
+    nb, v = bboxes_to_padded(None, boxes, max_boxes=64)
+    assert nb.shape == (1, 64, 4) and v[0, :40].all() and not v[0, 40:].any()

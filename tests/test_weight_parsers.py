@@ -139,3 +139,23 @@ def test_caffemodel_feeds_porting_map():
     got = W._KIND_FNS["conv"](sd["conv1_1.weight"])
     assert got.shape == (3, 3, 3, 64)
     np.testing.assert_array_equal(got, w.transpose(2, 3, 1, 0))
+
+
+def test_frozen_graph_negative_int_vals(tmp_path):
+    """Negative int32 scalars (axis/dim constants, common in frozen
+    graphs) arrive as 64-bit two's-complement varints and must decode
+    signed."""
+    from scannertools_tpu.utils.tf_frozen import read_frozen_graph
+
+    buf = _tag(1, 0) + _varint(3)  # dtype = DT_INT32
+    dims = _ld(2, _tag(1, 0) + _varint(2))
+    buf += _ld(2, dims)
+    # int_val: -1 then 7, unpacked varints (wire type 0 inside field 6)
+    buf += _tag(6, 0) + _varint((1 << 64) - 1)  # -1 two's complement
+    buf += _tag(6, 0) + _varint(7)
+    attr = _ld(1, b"value") + _ld(2, _ld(8, buf))
+    node = _ld(1, b"neg") + _ld(2, b"Const") + _ld(5, attr)
+    p = tmp_path / "g.pb"
+    p.write_bytes(_ld(1, node))
+    out = read_frozen_graph(str(p))
+    np.testing.assert_array_equal(out["neg"], np.asarray([-1, 7], np.int32))
