@@ -1,0 +1,153 @@
+"""End-to-end weights-in kit drill with SYNTHETIC artifacts.
+
+Builds correctly-shaped fake checkpoints for a representative family per
+artifact format — torch state dicts (.pt), a caffemodel (protobuf wire),
+the binary facenet template file — by INVERTING the
+porting-map layout converters from our own flax trees, then runs
+scripts/port_checkpoints.py and asserts the ported npz reproduce the
+source values exactly. This proves the whole kit path (artifact parse →
+layout convert → shape-validated port → npz) without network egress;
+per-family map totality is covered by tests/test_porting_maps.py.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tests.test_weight_parsers import _blob, _ld
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _invert(kind: str, a: np.ndarray) -> np.ndarray:
+    """flax-layout array -> source-checkpoint layout (inverse of
+    models/weights._KIND_FNS + the linear_conv composite)."""
+    a = np.asarray(a)
+    if kind in ("conv", "depthwise"):
+        return a.transpose(3, 2, 0, 1)
+    if kind == "conv_transpose":
+        return a.transpose(2, 3, 0, 1)
+    if kind == "linear":
+        return a.T
+    if kind in ("raw", "tf_conv", "prelu"):
+        return a
+    if kind == "tf_depthwise":
+        return a.transpose(0, 1, 3, 2)
+    if kind.startswith("linear_conv:"):
+        c, h, w = (int(x) for x in kind.split(":")[1].split(","))
+        o = a.shape[1]
+        return a.reshape(h, w, c, o).transpose(3, 2, 0, 1).reshape(o, -1)
+    raise KeyError(kind)
+
+
+@pytest.fixture(scope="module")
+def kit(tmp_path_factory):
+    """Build artifacts, run the kit once, return (artifacts, ported)."""
+    import jax
+
+    from scannertools_tpu.models import faster_rcnn, mtcnn
+    from scannertools_tpu.models import porting_maps as pm
+    from scannertools_tpu.models import weights as W
+
+    art = tmp_path_factory.mktemp("artifacts")
+    rng = jax.random.PRNGKey(0)
+
+    # ---- mtcnn: three torch .pt state dicts -------------------------
+    import torch
+
+    mt_vars = mtcnn.init_params(rng)
+    flat = W._flatten(mt_vars)
+    sds = {"pnet": {}, "rnet": {}, "onet": {}}
+    for path, (tk, kind) in pm.mtcnn_mapping().items():
+        net = path.split("/")[0]
+        sds[net][tk] = torch.tensor(_invert(kind, flat[path]))
+    for net, sd in sds.items():
+        torch.save(sd, art / f"mtcnn_{net}.pt")
+
+    # ---- faster_rcnn: a caffemodel (protobuf wire) ------------------
+    fr_vars = faster_rcnn.init_params(rng)
+    flat = W._flatten(fr_vars)
+    layers = {}
+    for path, (ck, kind) in pm.faster_rcnn_mapping().items():
+        layer, leaf = ck.rsplit(".", 1)
+        layers.setdefault(layer, {})[leaf] = _invert(kind, flat[path])
+    net = b""
+    for name, blobs in layers.items():
+        body = _ld(1, name.encode())
+        for leaf in ("weight", "bias"):
+            if leaf in blobs:
+                b = np.asarray(blobs[leaf], np.float32)
+                body += _ld(7, _blob(b.shape, b))
+        net += _ld(100, body)
+    (art / "VGG16_faster_rcnn_final.caffemodel").write_bytes(net)
+
+    # ---- facenet templates: 25x4 f32 binary -------------------------
+    tpl = np.random.RandomState(3).rand(25, 4).astype("<f4")
+    (art / "facenet_templates.bin").write_bytes(tpl.tobytes())
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/port_checkpoints.py"),
+         "--artifacts", str(art),
+         "--families", "mtcnn,faster_rcnn,facenet_templates"],
+        capture_output=True, text=True, timeout=1200, env=env)
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "FAILED" not in res.stdout, res.stdout
+    for fam in ("mtcnn", "faster_rcnn", "facenet_templates"):
+        assert fam in res.stdout.split("skipped")[0], res.stdout
+    return art, art / "ported", {"mtcnn": mt_vars, "faster_rcnn": fr_vars,
+                                 "tpl": tpl}
+
+
+def _assert_tree_equal(a, b, path=""):
+    import jax
+
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_kit_roundtrips_mtcnn(kit):
+    from scannertools_tpu.models import weights as W
+
+    art, ported, src = kit
+    got = W.load_params(str(ported / "mtcnn.npz"))
+    _assert_tree_equal(got, src["mtcnn"])
+
+
+def test_kit_roundtrips_faster_rcnn_caffemodel(kit):
+    from scannertools_tpu.models import weights as W
+
+    art, ported, src = kit
+    got = W.load_params(str(ported / "faster_rcnn.npz"))
+    _assert_tree_equal(got, src["faster_rcnn"])
+
+
+def test_kit_templates_roundtrip(kit):
+    art, ported, src = kit
+    tpl = np.load(ported / "facenet_templates.npy")
+    np.testing.assert_array_equal(tpl, src["tpl"])
+
+
+def test_kit_ported_weights_run_forward(kit):
+    """A ported npz drops into the op path (weights_path=) and the model
+    executes — the exact production hand-off."""
+    import jax.numpy as jnp
+
+    from scannertools_tpu.models import mtcnn
+    from scannertools_tpu.models import weights as W
+
+    art, ported, src = kit
+    variables = W.load_params(str(ported / "mtcnn.npz"))
+    frames = jnp.asarray(
+        np.random.RandomState(0).uniform(0, 255, (1, 64, 96, 3))
+        .astype(np.float32))
+    boxes, scores, valid = mtcnn.detect_batch(variables, frames)
+    assert np.asarray(boxes).shape == (1, mtcnn.MAX_FACES, 4)
+    assert np.isfinite(np.asarray(scores)).all()
