@@ -229,3 +229,73 @@ def test_claims_mode_survives_killed_worker(tmp_path):
             sc, f"mh{j}").load()])
         want = histogram_reference_np(frames)
         assert (got == want).all(), f"job {j} output corrupt after recovery"
+
+
+def test_claims_run_waits_out_stale_holder(tmp_path):
+    """A survivor that reaches the completion loop BEFORE the dead host's
+    claims age out must wait, reap, and finish the stranded jobs (the
+    round-3 review scenario: early finisher + fresh-but-dead claims)."""
+    import numpy as np
+
+    import scannertools_tpu as st
+    from scannertools_tpu.io.video import VideoMetadata
+    from scannertools_tpu.ops.histogram import histogram_reference_np
+    from scannertools_tpu.parallel.workqueue import WorkClaims
+
+    class FakeVideo:
+        is_video = True
+
+        def __init__(self, seed):
+            rng = np.random.default_rng(seed)
+            self.frames = rng.integers(0, 256, (6, 16, 128, 3), np.uint8)
+
+        def __len__(self):
+            return 6
+
+        def metadata(self):
+            return VideoMetadata("fake", 6, 24.0, 128, 16)
+
+        def decoder(self):
+            return self
+
+        def read_frames(self, idxs, out=None):
+            data = self.frames[list(idxs)]
+            if out is not None:
+                out[:] = data
+                return out
+            return data
+
+        def close(self):
+            pass
+
+        def committed(self):
+            return True
+
+        def type_name(self):
+            return "frame"
+
+    sc = st.Client(db_path=str(tmp_path))
+    vids = [FakeVideo(j) for j in range(3)]
+    frame = sc.io.Input(vids)
+    hist = sc.ops.Histogram(frame=frame)
+    outs = [st.NamedStream(sc, f"wait_{j}") for j in range(3)]
+
+    # a "dead host" freshly claimed job 1 and will never heartbeat again;
+    # its claim is YOUNGER than the timeout when our run starts
+    run_key = "|".join(s.name for s in outs)
+    dead = WorkClaims(str(tmp_path), run_key)
+    assert dead.try_claim(1)
+
+    import time
+
+    t0 = time.time()
+    sc.run(sc.io.Output(hist, outs),
+           st.PerfParams.manual(work_packet_size=4),
+           cache_mode=st.CacheMode.Ignore, job_distribution="claims",
+           claim_timeout_sec=3.0)
+    # the run had to outwait the 3 s staleness window for job 1
+    assert time.time() - t0 >= 2.0
+    for j, out in enumerate(outs):
+        assert out.committed(), f"job {j} stranded"
+        got = np.stack([np.stack(h) for h in out.load()])
+        assert (got == histogram_reference_np(vids[j].frames)).all()
