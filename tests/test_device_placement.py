@@ -53,3 +53,27 @@ def test_mixed_device_graph_splits_segments(sc, ingested):
            cache_mode=st.CacheMode.Overwrite)
     rows = list(out.load())
     assert len(rows) == 8
+
+
+def test_nn_forward_with_aux_on_cpu(sc, ingested):
+    """device=DeviceType.CPU on a composite NN op: the aux weights follow
+    the segment onto the CPU backend (executor._resolve_aux placement) and
+    results match the accelerator run."""
+    import numpy as np
+
+    import scannertools_tpu as st
+
+    frame = sc.io.Input([ingested])
+    g = sc.streams.Gather(frame, [[0]])
+    res = {}
+    for tag, kwargs in (("dev", {}), ("cpu", {"device": st.DeviceType.CPU})):
+        faces = sc.ops.MTCNNDetectFaces(frame=g, **kwargs)
+        out = st.NamedStream(sc, f"nncpu_{tag}")
+        sc.run(sc.io.Output(faces, [out]),
+               st.PerfParams.manual(work_packet_size=1),
+               cache_mode=st.CacheMode.Overwrite)
+        res[tag] = [(b.x1, b.y1, b.x2, b.y2, b.score)
+                    for b in next(out.load())]
+    assert len(res["dev"]) == len(res["cpu"])
+    for a, b in zip(res["dev"], res["cpu"]):
+        np.testing.assert_allclose(a, b, atol=5e-3)  # backend fp drift
