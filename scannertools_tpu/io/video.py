@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import threading
-from typing import Iterator, List, Optional, Sequence
+from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -98,14 +98,105 @@ def _runs(indices: Sequence[int]) -> List[List[int]]:
     return runs
 
 
-def VideoDecoder(path: str):
-    """Decoder factory: native libav backend when available, else cv2.
-    Both expose ``.meta``, ``.read_frames(indices, out=)``, ``.close()``."""
+def _single_decoder(path: str):
     if _backend() == "native":
         from . import av
 
         return av.NativeVideoDecoder(path)
     return Cv2VideoDecoder(path)
+
+
+def _default_threads() -> int:
+    """Decode threads: env override, else one per core up to 4 on the
+    native backend (GIL-releasing), 1 for cv2 (grab/retrieve holds the GIL
+    — threads would only add contention)."""
+    import os
+
+    env = os.environ.get("SCANNERTOOLS_TPU_DECODE_THREADS")
+    if env:
+        return max(1, int(env))
+    if _backend() != "native":
+        return 1
+    return max(1, min(4, os.cpu_count() or 1))
+
+
+def VideoDecoder(path: str, threads: Optional[int] = None):
+    """Decoder factory: native libav backend when available, else cv2.
+    All variants expose ``.meta``, ``.read_frames(indices, out=)``,
+    ``.close()``. With ``threads > 1`` (default: one per core up to 4 on
+    multi-core hosts, native backend only) each chunk read is decoded by
+    that many parallel sub-decoders over disjoint contiguous index spans —
+    the engine's multi-threaded decode workers (SURVEY §1 L0)."""
+    n = _default_threads() if threads is None else max(1, threads)
+    if n <= 1:
+        return _single_decoder(path)
+    return ParallelVideoDecoder(path, n)
+
+
+class ParallelVideoDecoder:
+    """K sub-decoders over one container decode disjoint contiguous slices
+    of every ``read_frames`` request concurrently (ROADMAP #9: host-side
+    parallel decode). Each sub-decoder persistently owns the k-th quantile
+    of each request, so its position advances monotonically across chunks
+    — one forward seek per chunk, never a rewind. The native backend
+    releases the GIL inside ``st_av_read``, so threads genuinely overlap.
+
+    Splits respect seek-run boundaries when the request has several runs
+    (a sparse Gather) so two threads never re-decode the same GOP; a
+    single dense run is split into K equal spans (K-1 extra keyframe
+    seeks, each amortized over 1/K of the chunk)."""
+
+    def __init__(self, path: str, threads: int):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self.path = path
+        self._decs = [_single_decoder(path) for _ in range(threads)]
+        self.meta = self._decs[0].meta
+        self._pool = ThreadPoolExecutor(
+            max_workers=threads, thread_name_prefix="st-decode")
+
+    def close(self) -> None:
+        self._pool.shutdown(wait=True)
+        for d in self._decs:
+            d.close()
+
+    def _split(self, indices: Sequence[int]) -> List[Tuple[int, int]]:
+        """[(a, b)) position spans, one per worker, balanced by count and
+        aligned to seek-run boundaries when possible."""
+        k = min(len(self._decs), len(indices))
+        runs = _runs(indices)
+        bounds = [0]
+        if len(runs) >= k:
+            # cut between runs, balancing frames per group
+            per = len(indices) / k
+            pos = 0
+            for r in runs[:-1]:
+                pos += len(r)
+                if pos >= per * len(bounds) and len(bounds) < k:
+                    bounds.append(pos)
+        else:
+            bounds = [len(indices) * j // k for j in range(k)]
+        bounds.append(len(indices))
+        return [(bounds[j], bounds[j + 1]) for j in range(len(bounds) - 1)
+                if bounds[j + 1] > bounds[j]]
+
+    def read_frames(self, indices: Sequence[int],
+                    out: Optional[np.ndarray] = None) -> np.ndarray:
+        if out is None:
+            out = np.empty(
+                (len(indices), self.meta.height, self.meta.width, 3),
+                np.uint8)
+        if len(indices) == 0:
+            return out
+        spans = self._split(indices)
+        futs = [
+            self._pool.submit(
+                self._decs[j].read_frames, list(indices[a:b]), out[a:b])
+            for j, (a, b) in enumerate(spans)
+        ]
+        for f in futs:
+            f.result()  # re-raises worker decode errors
+        return out
 
 
 class Cv2VideoDecoder:

@@ -204,3 +204,47 @@ def test_audio_stream_sparse_rows_use_windowed_decode(tmp_path):
     all_rows = [parse(b) for b in dense.load_bytes()]
     np.testing.assert_array_equal(got[0], all_rows[1])
     np.testing.assert_array_equal(got[1], all_rows[3])
+
+
+@pytest.mark.parametrize("pattern", [
+    list(range(0, 48)),              # one dense run -> equal spans
+    [5, 6, 7, 100, 101, 200, 201],   # several seek runs -> run-aligned cut
+    [0],                             # fewer indices than workers
+    [0, 0, 1, 2, 3],                 # halo-clamped duplicates at the edge
+])
+def test_parallel_decoder_bit_parity(test_video, pattern):
+    """ParallelVideoDecoder (ROADMAP #9): K sub-decoders over disjoint
+    contiguous spans must reproduce the single-decoder output exactly,
+    including into a caller-provided staging buffer."""
+    from scannertools_tpu.io.video import ParallelVideoDecoder
+
+    pd = ParallelVideoDecoder(test_video["path"], threads=3)
+    try:
+        got = pd.read_frames(pattern)
+        buf = np.empty_like(got)
+        got2 = pd.read_frames(pattern, out=buf)
+    finally:
+        pd.close()
+    want = _cv2_frames(test_video["path"], pattern)
+    assert np.max(np.abs(got.astype(int) - want.astype(int))) <= 2
+    assert got2 is buf and (got2 == got).all()
+
+
+def test_parallel_decoder_in_pipeline(sc, ingested, video_frames,
+                                      monkeypatch):
+    """End-to-end: the executor's decode path with forced 2-thread parallel
+    decode produces the same histograms as the reference golden."""
+    import scannertools_tpu as st
+    from scannertools_tpu.ops.histogram import histogram_reference_np
+
+    monkeypatch.setenv("SCANNERTOOLS_TPU_DECODE_THREADS", "2")
+    frame = sc.io.Input([ingested])
+    hist = sc.ops.Histogram(frame=frame)
+    out = st.NamedStream(sc, "hist_par_decode")
+    sc.run(sc.io.Output(hist, [out]),
+           st.PerfParams.manual(work_packet_size=48),
+           cache_mode=st.CacheMode.Overwrite)
+    got = list(out.load())
+    want = histogram_reference_np(video_frames)
+    for i in (0, 47, 48, 239):
+        assert (np.stack(got[i]) == want[i]).all(), f"frame {i}"
