@@ -160,7 +160,7 @@ def _hist_kernel(P: int, x_ref, out_ref, scratch):
 
 
 @functools.lru_cache(maxsize=32)
-def _pallas_hist_fn(T: int, rows: int, P: int):
+def _pallas_hist_fn(T: int, rows: int, P: int, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -176,13 +176,18 @@ def _pallas_hist_fn(T: int, rows: int, P: int):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, 3, BINS), jnp.int32),
         scratch_shapes=[pltpu.VMEM((48, _LANES), jnp.int32)],
+        interpret=interpret,
     )
 
 
-def _histogram_pallas(chunk: FrameChunk) -> jnp.ndarray:
+def _histogram_pallas(chunk: FrameChunk, interpret: bool = False
+                      ) -> jnp.ndarray:
+    """interpret=True runs the kernel through the pallas interpreter (any
+    backend) — used to bit-validate the kernel logic where Mosaic cannot
+    run (tests/test_histogram.py); production always compiles."""
     flat = jnp.asarray(chunk.flat)
     t, rows, _ = flat.shape
-    return _pallas_hist_fn(t, rows, chunk.npix)(flat)
+    return _pallas_hist_fn(t, rows, chunk.npix, interpret)(flat)
 
 
 def _histogram_pallas_sharded(chunk: FrameChunk, mesh) -> jnp.ndarray:

@@ -75,6 +75,55 @@ def test_cache_modes(sc, ingested):
     sc.run(o, pp, cache_mode=st.CacheMode.Ignore)  # skips silently
 
 
+def test_histogram_pallas_interpret_parity():
+    """Bit-validate the pallas packed-counter kernel through the pallas
+    interpreter on the CPU backend — the only honest check available where
+    Mosaic cannot run (the axon relay). Covers a sub-tile geometry with
+    tail-byte masking (npix % 128 != 0) and a multi-tile geometry with a
+    ragged last row-tile (rows % _TILE != 0). Runs in a subprocess with the
+    axon plugin scrubbed (its sitecustomize pins the tunneled TPU)."""
+    import os
+    import subprocess
+    import sys
+
+    import pytest
+
+    env = dict(os.environ)
+    parts = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+             if p and "axon" not in p]
+    env["PYTHONPATH"] = os.pathsep.join(parts)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.expanduser("~/.jax_cache"))
+    code = """
+import numpy as np
+from scannertools_tpu.ops.histogram import (_histogram_pallas, _TILE,
+                                            histogram_reference_np)
+from scannertools_tpu.utils.framechunk import FrameChunk
+
+rng = np.random.default_rng(0)
+for shape in [(3, 33, 17, 3), (2, 120, 128, 3)]:
+    fr = rng.integers(0, 256, shape, np.uint8)
+    chunk = FrameChunk.from_hwc(fr)
+    rows = chunk.flat.shape[1]
+    got = np.asarray(_histogram_pallas(chunk, interpret=True))
+    assert (got == histogram_reference_np(fr)).all(), (shape, rows)
+# assert the two geometries actually exercised both raggedness modes
+assert (33 * 17 * 3) % 128 != 0
+assert (120 * 128 * 3 // 128) > _TILE and (120 * 128 * 3 // 128) % _TILE != 0
+print('PALLAS_INTERPRET_OK')
+"""
+    try:
+        res = subprocess.run(
+            [sys.executable, "-c", code], env=env, capture_output=True,
+            text=True, timeout=600,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    except subprocess.TimeoutExpired:
+        pytest.skip("interpret-mode subprocess timed out (loaded sandbox)")
+    assert res.returncode == 0 and "PALLAS_INTERPRET_OK" in res.stdout, (
+        res.stdout + res.stderr)
+
+
 def test_histogram_pallas_sharded_one_device_mesh():
     """shard_map'd pallas kernel on a 1-device mesh (multi-device meshes
     need real chips; per-frame independence makes N-way correctness follow)."""
