@@ -2,6 +2,7 @@
 (the analog of the reference's _register_module at import,
 scannertools_infra/__init__.py:90-100)."""
 
+from . import clothing  # noqa: F401
 from . import detection_decode  # noqa: F401
 from . import faces  # noqa: F401
 from . import nn_generic  # noqa: F401

@@ -68,24 +68,10 @@ def crop_classify(ctx, frame, bboxes, model: str = "gender_levi_hassner",
     return out
 
 
-CLOTHING_CATEGORIES = (
-    "dress", "outerwear", "pants", "shirt", "shorts", "skirt", "suit",
-)
-HAIRSTYLE_CATEGORIES = ("bald", "short", "medium", "long", "tied")
-
-
-@register_op("DetectClothing", kind="host", outputs=("object",))
-def detect_clothing(ctx, frame, bboxes, weights_path: Optional[str] = None):
-    return crop_classify(ctx, frame, bboxes, model="gender_levi_hassner",
-                         weights_path=weights_path,
-                         categories=CLOTHING_CATEGORIES)
-
-
-@register_op("DetectHairStyle", kind="host", outputs=("object",))
-def detect_hairstyle(ctx, frame, bboxes, weights_path: Optional[str] = None):
-    return crop_classify(ctx, frame, bboxes, model="gender_levi_hassner",
-                         weights_path=weights_path,
-                         categories=HAIRSTYLE_CATEGORIES)
+# DetectClothing / DetectHairStyle / PrepareClothingBbox live in
+# ops/clothing.py — faithful multi-head attribute versions with the
+# reference crop-window algorithm; CropClassify above remains the generic
+# single-label machinery for ad-hoc crop classification.
 
 
 @register_op("DetectFaceLandmarks", kind="host", outputs=("object",))
@@ -265,6 +251,33 @@ class TranscriptAligner:
                     if f1 > f0 else 0.0
                 out.append(WordAlignment(
                     w, (a + f0) * fs, (a + max(f1, f0 + 1)) * fs, score))
+        return out
+
+    # ------------------------------------------- ASR forced alignment
+    def align_words_ctc(self, captions, log_probs, frame_s: float,
+                        vocab=None, blank: int = 0, margin_s: float = 1.0):
+        """gentle-equivalent forced alignment from CTC acoustic emissions
+        (ops/ctc_align.py): per caption window, Viterbi-align the words to
+        the emission slice covering the (offset-corrected) caption span
+        plus ``margin_s`` slack on each side — the reference's sliding
+        gentle windows (old/transcript_alignment.py:206-264). Emissions
+        come from any char-CTC model: `ctc_align.wav2vec2_log_probs` runs
+        a transformers Wav2Vec2ForCTC checkpoint when its weights are on
+        disk, or pass logits computed elsewhere. Returns
+        ``ctc_align.AlignedWord`` records with absolute times and acoustic
+        scores (word.success() is gentle's success/not-found-in-audio)."""
+        from .ctc_align import align_transcript_ctc
+
+        n_fr = log_probs.shape[0]
+        out = []
+        for c in captions:
+            a = max(0, int((c.start - margin_s) / frame_s))
+            b = min(n_fr, int(np.ceil((c.end + margin_s) / frame_s)))
+            if b <= a:
+                continue
+            out.extend(align_transcript_ctc(
+                log_probs[a:b], c.line, frame_s, vocab=vocab, blank=blank,
+                t0=a * frame_s))
         return out
 
 

@@ -56,6 +56,14 @@ def _register_builtins() -> None:
                    facenet_detector.apply)
     register_model("faster_rcnn", faster_rcnn.init_params, faster_rcnn.apply)
 
+    from ..models import streetstyle
+
+    register_model("streetstyle_clothing", streetstyle.init_params_clothing,
+                   streetstyle.predict_clothing)
+    register_model("streetstyle_hairstyle",
+                   streetstyle.init_params_hairstyle,
+                   streetstyle.predict_hairstyle)
+
 
 _register_builtins()
 

@@ -38,10 +38,14 @@ def test_crop_classify_and_landmarks(sc, ingested):
     sc.run(sc.io.Output(clothing, [o1]), pp, cache_mode=st.CacheMode.Overwrite)
     sc.run(sc.io.Output(lmk, [o2]), pp, cache_mode=st.CacheMode.Overwrite)
 
-    from scannertools_tpu.ops.legacy_extras import CLOTHING_CATEGORIES
+    from scannertools_tpu.models.streetstyle import CLOTHING_ATTRIBUTES
+    from scannertools_tpu.ops.clothing import Clothing
 
     got = next(o1.load())
-    assert len(got) == 1 and got[0] in CLOTHING_CATEGORIES
+    assert len(got) == 1 and isinstance(got[0], Clothing)
+    d = got[0].to_dict()
+    for key, vals in CLOTHING_ATTRIBUTES:
+        assert d[key] in vals
     lm = next(o2.load())
     assert lm[0].shape == (5, 2)
 
