@@ -81,6 +81,23 @@ def bench_flow(gray0: np.ndarray, gray1: np.ndarray) -> float:
     return gray0.shape[0] / per
 
 
+def bench_mtcnn(frames_np: np.ndarray) -> float:
+    """Device time of the full MTCNN cascade forward (the face-detect leg
+    of the north-star suite, BASELINE.md) at 320x240, random weights —
+    throughput is weight-independent (static shapes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from scannertools_tpu.models import mtcnn
+
+    params = mtcnn.init_params(jax.random.PRNGKey(0))
+    frames = jnp.asarray(frames_np.astype(np.float32))
+    per = _device_seconds_per_iter(
+        lambda e, x: mtcnn.detect_batch(params, x + e), [frames],
+        K1=2, K2=6)
+    return frames_np.shape[0] / per
+
+
 def host_hist_fps(frames_np: np.ndarray, iters: int = 2) -> float:
     import cv2
 
@@ -122,6 +139,13 @@ def main() -> None:
     flow_fps_480 = bench_flow(g4[:-1], g4[1:])
     flow_cpu_480 = host_flow_fps(g4[:-1], g4[1:])
 
+    extras_nn = {}
+    try:
+        det = rng.integers(0, 256, size=(8, 240, 320, 3), dtype=np.uint8)
+        extras_nn["mtcnn_fps_320x240"] = round(bench_mtcnn(det), 1)
+    except Exception as exc:  # never fail the headline on an NN hiccup
+        extras_nn["mtcnn_error"] = repr(exc)[:120]
+
     print(json.dumps({
         "metric": "histogram_throughput",
         "value": round(hist_fps, 1),
@@ -132,6 +156,7 @@ def main() -> None:
             "flow_vs_cv2_640x480": round(flow_fps_480 / flow_cpu_480, 2),
             "flow_fps_432x240": round(flow_fps, 1),
             "flow_vs_cv2": round(flow_fps / flow_cpu, 2),
+            **extras_nn,
             "methodology": "scan-slope (block_until_ready lies on relays)",
         },
     }))

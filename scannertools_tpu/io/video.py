@@ -114,7 +114,14 @@ def _default_threads() -> int:
 
     env = os.environ.get("SCANNERTOOLS_TPU_DECODE_THREADS")
     if env:
-        return max(1, int(env))
+        try:
+            return max(1, int(env))
+        except ValueError:
+            import warnings
+
+            warnings.warn(
+                f"SCANNERTOOLS_TPU_DECODE_THREADS={env!r} is not an "
+                "integer; using the default thread count")
     if _backend() != "native":
         return 1
     return max(1, min(4, os.cpu_count() or 1))

@@ -103,10 +103,17 @@ def crop_and_resize(image: jnp.ndarray, boxes: jnp.ndarray, out_hw) -> jnp.ndarr
 
     def weights(box):
         x1, y1, x2, y2 = box[0], box[1], box[2], box[3]
-        ys = jnp.clip(y1 + (y2 - y1) * (jnp.arange(oh) + 0.5) / oh - 0.5,
-                      0.0, H - 1.0)
-        xs = jnp.clip(x1 + (x2 - x1) * (jnp.arange(ow) + 0.5) / ow - 0.5,
-                      0.0, W - 1.0)
+        # sample positions clamp to the CROP window, not the frame: the
+        # host path (cv2.resize on frame[y1:y2, x1:x2]) border-replicates
+        # at crop edges, so when upsampling (box smaller than out_hw) the
+        # first/last taps must stay inside the box instead of blending in
+        # pixels outside it
+        ys = y1 + jnp.clip((y2 - y1) * (jnp.arange(oh) + 0.5) / oh - 0.5,
+                           0.0, jnp.maximum(y2 - y1 - 1.0, 0.0))
+        xs = x1 + jnp.clip((x2 - x1) * (jnp.arange(ow) + 0.5) / ow - 0.5,
+                           0.0, jnp.maximum(x2 - x1 - 1.0, 0.0))
+        ys = jnp.clip(ys, 0.0, H - 1.0)
+        xs = jnp.clip(xs, 0.0, W - 1.0)
         ry = jnp.maximum(0.0, 1.0 - jnp.abs(ys[:, None] - hh[None, :]))
         rx = jnp.maximum(0.0, 1.0 - jnp.abs(xs[:, None] - ww[None, :]))
         return ry, rx

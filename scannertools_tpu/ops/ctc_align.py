@@ -58,12 +58,17 @@ def encode_transcript(text: str, vocab: Dict[str, int]):
     in the token sequence."""
     words = [w for w in re.split(r"\s+", text.strip().lower()) if w]
     words = [re.sub(r"[^a-z']", "", w) for w in words]
+    # drop characters the checkpoint vocab cannot emit (e.g. apostrophes in
+    # several wav2vec2 fine-tunes) instead of KeyError-ing mid-alignment;
+    # words with no encodable characters are dropped entirely
+    words = ["".join(ch for ch in w if ch in vocab) for w in words]
     words = [w for w in words if w]
+    delim = vocab.get(WORD_DELIM)
     tokens: List[int] = []
     spans = []
     for k, w in enumerate(words):
-        if k:
-            tokens.append(vocab[WORD_DELIM])
+        if k and delim is not None:
+            tokens.append(delim)
         a = len(tokens)
         tokens.extend(vocab[ch] for ch in w)
         spans.append((a, len(tokens)))

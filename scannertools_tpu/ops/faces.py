@@ -221,32 +221,52 @@ def _scatter_rows(vals, sel, sel_ok, t: int, k: int):
     return flat.reshape(t, k, d)
 
 
+def _overflow_rows(sel, sel_ok, want, t: int, k: int):
+    """Per-frame count of valid crops NOT selected under the budget — the
+    decode stage surfaces these instead of letting budget overflow
+    masquerade as the degenerate-crop zero sentinel."""
+    emb = jnp.zeros((t * k,), bool).at[sel].set(sel_ok)
+    return (want.reshape(t, k).sum(axis=1)
+            - emb.reshape(t, k).sum(axis=1)).astype(jnp.int32)
+
+
 def _facenet_aux(ctx, params):
     return _get_params("facenet", params.get("weights_path"),
                        facenet_lib.init_params)
 
 
 @register_op("FaceEmbedForward", kind="device", aux=_facenet_aux,
-             outputs=("array_f32", "array_i32"))
+             outputs=("array_f32", "array_i32", "array_i32"))
 def face_embed_forward(ctx, aux, frame, nboxes, valid,
                        weights_path: Optional[str] = None,
                        minibatch: int = 5, faces_budget: int = 8):
     """Crop + 160x160 resize + prewhiten + FaceNet on device:
-    -> (embs [T,MAX_FACES,128], valid [T,MAX_FACES]). Degenerate crops emit
-    the reference's zero vector (face_embedding.py:70). ``minibatch`` is
-    accepted for API parity; the crop batch is compacted across the chunk
-    to ``faces_budget``·T crops (see _compact_crops)."""
+    -> (embs [T,MAX_FACES,128], valid [T,MAX_FACES], overflow [T]).
+    Degenerate crops emit the reference's zero vector
+    (face_embedding.py:70). ``minibatch`` is accepted for API parity; the
+    crop batch is compacted across the chunk to ``faces_budget``·T crops
+    (see _compact_crops); ``overflow`` counts valid faces per frame beyond
+    that budget (zero-embedded; the decode stage warns)."""
     x = as_hwc_f32(frame)
     t = x.shape[0]
     k = nboxes.shape[1]
-    crops, sel, sel_ok, _ = _compact_crops(x, nboxes, valid, 160,
-                                           faces_budget)
+    crops, sel, sel_ok, want = _compact_crops(x, nboxes, valid, 160,
+                                              faces_budget)
     embs = facenet_lib.embed(aux, crops)  # [B, 128]
-    return _scatter_rows(embs, sel, sel_ok, t, k), valid
+    return (_scatter_rows(embs, sel, sel_ok, t, k), valid,
+            _overflow_rows(sel, sel_ok, want, t, k))
 
 
 @register_op("EmbedDecode", kind="host", outputs=("facenet_embeddings",))
-def embed_decode(ctx, embs, valid):
+def embed_decode(ctx, embs, valid, overflow=None):
+    n_over = int(np.sum(overflow)) if overflow is not None else 0
+    if n_over:
+        import warnings
+
+        warnings.warn(
+            f"EmbedFaces: {n_over} valid faces beyond faces_budget got the "
+            "zero-vector sentinel; pass faces_budget=<max faces/frame> to "
+            "EmbedFaces for exhaustive embedding", stacklevel=2)
     out = []
     for E, V in zip(embs, valid):
         rows = [e for e, v in zip(E, V) if v]
@@ -264,7 +284,8 @@ def _build_embed(inputs, params, device):
                  {"frame": inputs["frame"], "nboxes": nboxes, "valid": valid},
                  params, device=device)
     return OpNode("EmbedDecode", {"embs": NodeOutput(fwd, 0),
-                                  "valid": NodeOutput(fwd, 1)}, {})
+                                  "valid": NodeOutput(fwd, 1),
+                                  "overflow": NodeOutput(fwd, 2)}, {})
 
 
 # ------------------------------------------------------------- DetectGender
@@ -275,27 +296,36 @@ def _gender_aux(ctx, params):
 
 
 @register_op("GenderForward", kind="device", aux=_gender_aux,
-             outputs=("array_i32", "array_i32"))
+             outputs=("array_i32", "array_i32", "array_i32"))
 def gender_forward(ctx, aux, frame, nboxes, valid,
                    weights_path: Optional[str] = None,
                    faces_budget: int = 8):
     """Crop + 227x227 resize + Levi–Hassner on device -> (labels
-    [T,MAX_FACES] int32, valid). Degenerate crops label 0 ('M'), matching
-    the host path's LABELS[0] fallback. Crop batch compacted across the
-    chunk (see _compact_crops)."""
+    [T,MAX_FACES] int32, valid, overflow [T]). Degenerate crops label 0
+    ('M'), matching the host path's LABELS[0] fallback. Crop batch
+    compacted across the chunk (see _compact_crops); ``overflow`` counts
+    valid faces beyond the budget (the decode stage warns)."""
     x = as_hwc_f32(frame)
     t = x.shape[0]
     k = nboxes.shape[1]
-    crops, sel, sel_ok, _ = _compact_crops(x, nboxes, valid,
-                                           gender_lib.INPUT_SIZE,
-                                           faces_budget)
+    crops, sel, sel_ok, want = _compact_crops(x, nboxes, valid,
+                                              gender_lib.INPUT_SIZE,
+                                              faces_budget)
     labels = gender_lib.classify(aux, crops).astype(jnp.int32)  # [B]
     out = _scatter_rows(labels[:, None], sel, sel_ok, t, k)[..., 0]
-    return out, valid
+    return out, valid, _overflow_rows(sel, sel_ok, want, t, k)
 
 
 @register_op("GenderDecode", kind="host", outputs=("object",))
-def gender_decode(ctx, labels, valid):
+def gender_decode(ctx, labels, valid, overflow=None):
+    n_over = int(np.sum(overflow)) if overflow is not None else 0
+    if n_over:
+        import warnings
+
+        warnings.warn(
+            f"DetectGender: {n_over} valid faces beyond faces_budget got "
+            "label 'M' by budget truncation; pass faces_budget=<max faces/"
+            "frame> for exhaustive classification", stacklevel=2)
     return [
         [gender_lib.LABELS[int(l)] for l, v in zip(L, V) if v]
         for L, V in zip(labels, valid)
@@ -311,4 +341,5 @@ def _build_gender(inputs, params, device):
                  {"frame": inputs["frame"], "nboxes": nboxes, "valid": valid},
                  params, device=device)
     return OpNode("GenderDecode", {"labels": NodeOutput(fwd, 0),
-                                   "valid": NodeOutput(fwd, 1)}, {})
+                                   "valid": NodeOutput(fwd, 1),
+                                   "overflow": NodeOutput(fwd, 2)}, {})

@@ -195,9 +195,14 @@ def _crop_batch_device(frames_f32: jnp.ndarray, items: jnp.ndarray,
         y0 = jnp.round(it[2] * H)
         bw = jnp.maximum(jnp.round(it[3] * W) - x0, 1.0)
         bh = jnp.maximum(jnp.round(it[4] * H) - y0, 1.0)
-        # cv2.resize sampling: dst i -> crop-local (i+0.5)*scale - 0.5
-        ys = y0 + bh * (jnp.arange(size) + 0.5) / size - 0.5
-        xs = x0 + bw * (jnp.arange(size) + 0.5) / size - 0.5
+        # cv2.resize sampling: dst i -> crop-local (i+0.5)*scale - 0.5,
+        # clamped to the crop canvas [0, bh-1] (resize border-replicates at
+        # canvas edges; when upsampling, the first/last taps must not leak
+        # past the crop window into adjacent frame pixels)
+        ys = y0 + jnp.clip(bh * (jnp.arange(size) + 0.5) / size - 0.5,
+                           0.0, bh - 1.0)
+        xs = x0 + jnp.clip(bw * (jnp.arange(size) + 0.5) / size - 0.5,
+                           0.0, bw - 1.0)
         ry = jnp.maximum(0.0, 1.0 - jnp.abs(ys[:, None] - hh[None, :]))
         rx = jnp.maximum(0.0, 1.0 - jnp.abs(xs[:, None] - ww[None, :]))
         tmp = jnp.einsum("yh,hwc->ywc", ry, img, precision=hp)

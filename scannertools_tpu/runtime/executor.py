@@ -86,11 +86,12 @@ def _resolve_aux(opdef, node, ctx, placement, mesh=None, cpu_dev=None):
     key = base_key + (placement,)
     if key in _AUX_CACHE:
         return _AUX_CACHE[key]
-    if base_key + (None,) in _AUX_CACHE:
-        val = _AUX_CACHE[base_key + (None,)]
+    host_key = base_key + ("__host__",)
+    if host_key in _AUX_CACHE:
+        val = _AUX_CACHE[host_key]
     else:
         val = opdef.aux(ctx, node.params)
-        _AUX_CACHE[base_key + (None,)] = val
+        _AUX_CACHE[host_key] = val
     if placement == "cpu":
         val = jax.tree_util.tree_map(
             lambda leaf: jax.device_put(leaf, cpu_dev), val)
@@ -102,6 +103,12 @@ def _resolve_aux(opdef, node, ctx, placement, mesh=None, cpu_dev=None):
         rep = NamedSharding(mesh, PartitionSpec())
         val = jax.tree_util.tree_map(
             lambda leaf: jax.device_put(leaf, rep), val)
+    else:
+        # default single-device placement: move the weights to the device
+        # ONCE here — an npz-loaded numpy pytree passed straight into the
+        # jitted segment would otherwise re-upload the full checkpoint
+        # host->HBM on every chunk
+        val = jax.tree_util.tree_map(jax.device_put, val)
     _AUX_CACHE[key] = val
     return val
 
@@ -297,11 +304,20 @@ class Executor:
                     )
                 if cache_mode in (CacheMode.Ignore, CacheMode.Resume):
                     return
+            # Heartbeat BOTH claims this host holds: the running job and the
+            # looked-ahead next job (claimed by the iterator pull below
+            # before this job runs — without a refresh its claim would age
+            # past claim_timeout_sec during a long job and a live peer would
+            # reap it, double-executing the job).
+            def _hb(j=job, n=nxt):
+                claims.heartbeat(j)
+                if n is not None:
+                    claims.heartbeat(n)
+
             self._run_job(output, order, need, sources, job, sink_streams,
                           perf, show_progress,
                           resume=cache_mode == CacheMode.Resume,
-                          heartbeat=(lambda j=job: claims.heartbeat(j))
-                          if claims is not None else None,
+                          heartbeat=_hb if claims is not None else None,
                           warm=warm_decoders,
                           on_decode_drained=(lambda n=nxt: warm_job(n))
                           if (nxt is not None and overlap) else None)

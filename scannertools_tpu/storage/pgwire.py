@@ -122,8 +122,9 @@ def _bind(sql: str, params: Sequence[Any]) -> str:
     str.format-based binding broke on SQL containing literal braces
     (postgres array/JSON literals like '{1,2}') and rewrote %s inside
     string literals; this walks the statement tracking single-quoted
-    strings (with '' escapes), double-quoted identifiers, and
-    dollar-quoted blocks, and only substitutes in plain SQL text.
+    strings (with '' escapes), double-quoted identifiers (with ""
+    escapes), dollar-quoted blocks, and -- / nested /* */ comments, and
+    only substitutes in plain SQL text.
     """
     out: List[str] = []
     vals = [quote_literal(p) for p in params]
@@ -144,10 +145,32 @@ def _bind(sql: str, params: Sequence[Any]) -> str:
             out.append(sql[i:j + 1])
             i = j + 1
         elif c == '"':
-            j = sql.find('"', i + 1)
-            j = n - 1 if j < 0 else j
+            j = i + 1
+            while j < n:  # "" escapes inside quoted identifiers
+                if sql[j] == '"':
+                    if j + 1 < n and sql[j + 1] == '"':
+                        j += 2
+                        continue
+                    break
+                j += 1
             out.append(sql[i:j + 1])
             i = j + 1
+        elif c == "-" and i + 1 < n and sql[i + 1] == "-":
+            j = sql.find("\n", i)  # -- line comment: opaque to end of line
+            j = n if j < 0 else j
+            out.append(sql[i:j])
+            i = j
+        elif c == "/" and i + 1 < n and sql[i + 1] == "*":
+            depth, j = 1, i + 2  # /* */ nests in postgres
+            while j < n and depth:
+                if sql.startswith("/*", j):
+                    depth, j = depth + 1, j + 2
+                elif sql.startswith("*/", j):
+                    depth, j = depth - 1, j + 2
+                else:
+                    j += 1
+            out.append(sql[i:j])
+            i = j
         elif c == "$":
             m = re.match(r"\$[A-Za-z_]*\$", sql[i:])
             if m:

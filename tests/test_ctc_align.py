@@ -125,3 +125,20 @@ def test_transcript_aligner_ctc_windows():
     assert out[1].start == pytest.approx(3.0, abs=fs)
     assert out[1].end == pytest.approx(3.4, abs=fs)
     assert all(isinstance(w, AlignedWord) and w.success() for w in out)
+
+
+def test_unencodable_chars_dropped_not_keyerror():
+    """Checkpoint vocabs missing the apostrophe (several wav2vec2
+    fine-tunes) or the word delimiter must not KeyError: unencodable
+    characters are dropped from words, fully-unencodable words vanish."""
+    vocab = {c: i + 1 for i, c in enumerate("abcdefghijklmnopqrstuvwxyz")}
+    # no "'", no "|"
+    tokens, words, spans = encode_transcript("don't stop ''", vocab)
+    assert words == ["dont", "stop"]
+    assert len(tokens) == len("dontstop")  # no delimiter inserted
+    V = 27
+    gt = [0] + [t for t in tokens for _ in (0, 1)] + [0]
+    lp = _emissions(gt, V)
+    out = align_transcript_ctc(lp, "don't stop", frame_s=0.05, vocab=vocab)
+    assert [w.word for w in out] == ["dont", "stop"]
+    assert all(w.success() for w in out)

@@ -77,3 +77,29 @@ def test_nn_forward_with_aux_on_cpu(sc, ingested):
     assert len(res["dev"]) == len(res["cpu"])
     for a, b in zip(res["dev"], res["cpu"]):
         np.testing.assert_allclose(a, b, atol=5e-3)  # backend fp drift
+
+
+def test_aux_default_placement_device_put_once():
+    """Default (single-device) placement must move aux weights to the
+    device ONCE at resolve time: an npz-loaded numpy pytree passed raw
+    into the jitted segment re-uploads the whole checkpoint every chunk."""
+    import types
+
+    import jax
+    import numpy as np
+
+    from scannertools_tpu.runtime import executor as ex
+
+    calls = []
+
+    def aux(ctx, params):
+        calls.append(1)
+        return {"w": np.ones((4, 4), np.float32)}
+
+    opdef = types.SimpleNamespace(name="_test_aux_default_op", aux=aux)
+    node = types.SimpleNamespace(params={})
+    v1 = ex._resolve_aux(opdef, node, None, None)
+    v2 = ex._resolve_aux(opdef, node, None, None)
+    assert len(calls) == 1, "aux loader must run once per process"
+    assert isinstance(v1["w"], jax.Array), type(v1["w"])
+    assert v1 is v2, "resolved aux must be cached per placement"

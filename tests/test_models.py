@@ -60,6 +60,34 @@ def test_crop_and_resize_matches_cv2():
     assert np.abs(got - want).mean() < 3.0
 
 
+def test_crop_and_resize_upsampling_clamps_to_crop_window():
+    """Upsampling a small interior box: cv2.resize border-replicates at the
+    CROP edges, so the device crop must not blend in frame pixels outside
+    the box (its first/last sample taps land outside the crop span). Tight
+    tolerance — both paths are plain f32 bilinear."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from scannertools_tpu.models.common import crop_and_resize
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (40, 50, 3)).astype(np.float32)
+    # 6x5 box well inside the frame, upsampled to 16x16
+    x1, y1, x2, y2 = 20, 10, 25, 16
+    boxes = np.array([[x1, y1, x2, y2]], np.float32)
+    got = np.asarray(jax.jit(
+        lambda im, b: crop_and_resize(im, b, (16, 16))
+    )(jnp.asarray(img), jnp.asarray(boxes)))[0]
+    want = cv2.resize(img[y1:y2, x1:x2], (16, 16),
+                      interpolation=cv2.INTER_LINEAR)
+    # the border rows/cols are exactly where unclamped taps would leak
+    # pixels from outside the box
+    assert np.abs(got - want).max() < 1.5
+    assert np.abs(got[0] - want[0]).max() < 1.5
+    assert np.abs(got[-1] - want[-1]).max() < 1.5
+
+
 def test_mtcnn_cascade_mechanics():
     import jax
     import jax.numpy as jnp

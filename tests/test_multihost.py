@@ -299,3 +299,42 @@ def test_claims_run_waits_out_stale_holder(tmp_path):
         assert out.committed(), f"job {j} stranded"
         got = np.stack([np.stack(h) for h in out.load()])
         assert (got == histogram_reference_np(vids[j].frames)).all()
+
+
+def test_lookahead_claim_heartbeats_while_prev_job_runs(tmp_path,
+                                                        monkeypatch):
+    """The claims iterator claims job N+1 (lookahead for decoder warmup)
+    BEFORE job N runs; the executor must refresh BOTH claims per chunk or
+    the prefetched claim ages past claim_timeout_sec during a long job and
+    a live peer reaps + double-executes it (workqueue.py's invariant:
+    only dead holders' claims are reaped)."""
+    import scannertools_tpu as st
+    from scannertools_tpu.parallel import workqueue
+    from scannertools_tpu.storage.python import PythonStream
+
+    calls = []
+    orig = workqueue.WorkClaims.heartbeat
+    monkeypatch.setattr(
+        workqueue.WorkClaims, "heartbeat",
+        lambda self, job: (calls.append(job), orig(self, job))[1])
+
+    sc = st.Client(db_path=str(tmp_path / "db"))
+    frames = np.random.default_rng(0).integers(
+        0, 256, (8, 16, 32, 3), np.uint8)
+    ins = [PythonStream(list(frames)) for _ in range(2)]
+    frame = sc.io.Input(ins)
+    hist = sc.ops.Histogram(frame=frame)
+    outs = [st.NamedStream(sc, f"hb{j}") for j in range(2)]
+    sc.run(sc.io.Output(hist, outs),
+           st.PerfParams.manual(work_packet_size=2),
+           cache_mode=st.CacheMode.Overwrite, job_distribution="claims")
+    assert all(o.committed() for o in outs)
+    # 4 chunks per job -> heartbeats fire during both jobs. The looked-ahead
+    # job must be refreshed while the first is still running: its id appears
+    # in the call log BEFORE the first job's final heartbeat.
+    assert calls, "claims mode must heartbeat"
+    first, other = calls[0], 1 - calls[0]
+    k = calls.index(other)
+    assert first in calls[k + 1:], (
+        f"prefetched claim {other} was never heartbeated while job "
+        f"{first} ran: {calls}")

@@ -71,13 +71,18 @@ def test_embed_budget_compaction():
         nb[0, j] = box
         valid[0, j] = True
 
-    full, _ = F.face_embed_forward(None, aux, x, jnp.asarray(nb),
-                                   jnp.asarray(valid),
-                                   faces_budget=F.MAX_FACES)
-    lim, _ = F.face_embed_forward(None, aux, x, jnp.asarray(nb),
-                                  jnp.asarray(valid), faces_budget=2)
+    full, _, over_full = F.face_embed_forward(None, aux, x, jnp.asarray(nb),
+                                              jnp.asarray(valid),
+                                              faces_budget=F.MAX_FACES)
+    lim, _, over_lim = F.face_embed_forward(None, aux, x, jnp.asarray(nb),
+                                            jnp.asarray(valid),
+                                            faces_budget=2)
     full = np.asarray(full)
     lim = np.asarray(lim)
+    # overflow accounting: the exhaustive run truncates nothing; the
+    # budget-2 run reports the 2 dropped valid faces per frame
+    assert np.asarray(over_full).tolist() == [0]
+    assert np.asarray(over_lim).tolist() == [2]
     assert all(np.abs(full[0, j]).sum() > 0 for j in range(4))
     # first-2 (frame-major order) survive the budget and match (batch-size
     # changes XLA accumulation order -> ~1e-4 drift, not a semantic diff)

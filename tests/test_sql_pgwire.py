@@ -299,6 +299,22 @@ def test_bind_outside_quotes_only():
     assert _bind('SELECT "col%s", %s', [2]) == 'SELECT "col%s", 2'
 
 
+def test_bind_handles_comments_and_quoted_identifiers():
+    """Comments are opaque: an apostrophe inside a -- or /* */ comment must
+    not desynchronize the quote scanner, and %s inside comments stays
+    literal. Doubled quotes inside identifiers ("a""b") must not close the
+    identifier early."""
+    from scannertools_tpu.storage.pgwire import _bind
+
+    assert _bind("SELECT %s -- don't bind %s here\n, %s", [1, 2]) == \
+        "SELECT 1 -- don't bind %s here\n, 2"
+    assert _bind("SELECT %s /* isn't /* nested %s */ ok */, %s", [1, 2]) == \
+        "SELECT 1 /* isn't /* nested %s */ ok */, 2"
+    assert _bind('SELECT "a""b%s", %s', [7]) == 'SELECT "a""b%s", 7'
+    # trailing line comment without newline
+    assert _bind("SELECT %s -- tail", [5]) == "SELECT 5 -- tail"
+
+
 def test_quote_literal_nonfinite_floats():
     assert quote_literal(float("nan")) == "'NaN'::float8"
     assert quote_literal(float("inf")) == "'Infinity'::float8"
