@@ -103,6 +103,52 @@ def run_dryrun(n_devices: int, batch: int = 16, hw: int = 32) -> float:
     return float(loss)
 
 
+def run_pp_sp_dryrun(n_devices: int) -> None:
+    """Pipeline-parallel (one stage per device, ppermute hand-offs) and
+    spatial-parallel (row-sharded conv with halo exchange) on tiny shapes,
+    each checked against its unsharded golden."""
+    from .pipeline_parallel import (pipeline_apply, sequential_reference,
+                                    stack_stage_params)
+    from .spatial import spatial_apply
+
+    rng = np.random.default_rng(0)
+
+    # pp: n_devices stages, 2*n microbatches
+    F = 8
+    per_stage = [
+        {"w": jnp.asarray(rng.normal(size=(F, F), scale=0.3), jnp.float32),
+         "b": jnp.asarray(rng.normal(size=(F,), scale=0.1), jnp.float32)}
+        for _ in range(n_devices)
+    ]
+    stacked = stack_stage_params(per_stage)
+
+    def stage_fn(p, h):
+        return jnp.tanh(h @ p["w"] + p["b"])
+
+    x = jnp.asarray(rng.normal(size=(2 * n_devices, 2, F)), jnp.float32)
+    mesh_pp = Mesh(np.array(jax.devices()[:n_devices]), ("pipe",))
+    got = np.asarray(pipeline_apply(stage_fn, stacked, x, mesh_pp))
+    want = np.asarray(sequential_reference(stage_fn, stacked, x))
+    assert np.allclose(got, want, atol=1e-5), "pp dryrun: mismatch"
+
+    # sp: 3x3 SAME conv, rows sharded, halo=1, bit-exact vs unsharded
+    k = jnp.asarray(rng.normal(size=(3, 3, 3, 4), scale=0.2), jnp.float32)
+
+    def conv(img, row_mask=None):
+        if row_mask is not None:
+            img = img * row_mask[None, :, None, None]
+        return jax.lax.conv_general_dilated(
+            img, k, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    img = jnp.asarray(rng.normal(size=(1, 4 * n_devices, 16, 3)),
+                      jnp.float32)
+    mesh_sp = Mesh(np.array(jax.devices()[:n_devices]), ("data",))
+    got_sp = np.asarray(spatial_apply(conv, img, halo=1, mesh=mesh_sp))
+    want_sp = np.asarray(jax.jit(conv)(img))
+    assert (got_sp == want_sp).all(), "sp dryrun: halo-exchange mismatch"
+
+
 def run_executor_dryrun(n_devices: int) -> None:
     """Drive the real chunked executor over the n-device mesh, including a
     tail chunk whose frame count is NOT divisible by the mesh size (the

@@ -1,0 +1,102 @@
+"""Spatial parallelism (sp): shard a single image's row axis over the mesh.
+
+The reference's unit of parallelism never goes below one frame (SURVEY
+§2j — io/work packets slice the *stream*). On TPU, very large frames
+(4K/8K sources hitting min-side-800+ detectors) can exceed one chip's
+activation working set at useful batch sizes; the TPU-native answer is to
+shard H over the mesh and exchange conv halos over ICI — the same
+NamedSharding/shard_map recipe as the frame-axis path, one level down.
+
+Correctness contract: for a stack of SAME-padded convolutions whose total
+receptive field is ≤ ``halo`` rows per side, halo exchange + crop
+reproduces the unsharded output bit-for-bit —
+  * interior shard boundaries see their true neighbor rows (ppermute), so
+    cropped-interior outputs match the global conv exactly;
+  * at the global top/bottom edges the halo rows lie *outside* the image.
+    SAME padding zero-fills them at EVERY layer, not just the first, so
+    ``fn`` receives a ``row_mask`` ([padded_rows] bool, True = inside the
+    image) and must multiply each layer's input by it — that re-creates
+    the layer-wise zero padding exactly. Interior shards get an all-True
+    mask, so the multiply folds away there.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def halo_exchange_rows(x: jnp.ndarray, halo: int, axis_name: str,
+                       row_axis: int = 1) -> jnp.ndarray:
+    """Pad my row-shard with ``halo`` rows from each mesh neighbor
+    (zero-filled at the global top/bottom edges, i.e. SAME-conv padding).
+
+    Inside shard_map; ``x``: ``[..., rows_local, ...]`` with the sharded
+    row axis at ``row_axis``.
+    """
+    n = jax.lax.psum(1, axis_name)
+    idx = jax.lax.axis_index(axis_name)
+
+    def take(arr, start, size):
+        sl = [slice(None)] * arr.ndim
+        sl[row_axis] = slice(start, start + size) if size > 0 else slice(0, 0)
+        return arr[tuple(sl)]
+
+    top_send = take(x, x.shape[row_axis] - halo, halo)  # my last rows -> below
+    bot_send = take(x, 0, halo)                         # my first rows -> above
+    down = [(i, i + 1) for i in range(n - 1)]
+    up = [(i, i - 1) for i in range(1, n)]
+    from_above = jax.lax.ppermute(top_send, axis_name, down)
+    from_below = jax.lax.ppermute(bot_send, axis_name, up)
+    # shard 0 has no predecessor, shard n-1 no successor: zero padding
+    zero = jnp.zeros_like(from_above)
+    from_above = jnp.where(idx == 0, zero, from_above)
+    from_below = jnp.where(idx == n - 1, zero, from_below)
+    return jnp.concatenate([from_above, x, from_below], axis=row_axis)
+
+
+def spatial_apply(fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+                  x: jnp.ndarray,
+                  halo: int,
+                  mesh: Mesh,
+                  axis: str = "data",
+                  row_axis: int = 1) -> jnp.ndarray:
+    """Run ``fn(padded, row_mask)`` (a SAME-padded conv stack, receptive
+    field ≤ ``halo`` rows/side, row-count-preserving, multiplying each
+    layer's input by ``row_mask`` — see module docstring) with ``x``'s row
+    axis sharded over ``mesh[axis]``. Returns the full output, still
+    row-sharded (a plain ``np.asarray``/``device_get`` gathers it).
+
+    ``x.shape[row_axis]`` must divide by the mesh axis size and each local
+    shard must be ≥ ``halo`` rows (one-hop neighbor exchange).
+    """
+    n = int(mesh.shape[axis])
+    rows = int(x.shape[row_axis])
+    if rows % n != 0 or rows // n < halo:
+        raise ValueError(
+            f"rows={rows} must divide mesh axis {n} with local shard "
+            f">= halo={halo}")
+    local = rows // n
+
+    def body(xs):
+        padded = halo_exchange_rows(xs, halo, axis, row_axis=row_axis)
+        # global row index of each padded row; True = inside the image
+        idx = jax.lax.axis_index(axis)
+        g = idx * local + (jnp.arange(local + 2 * halo) - halo)
+        row_mask = (g >= 0) & (g < rows)
+        y = fn(padded, row_mask)
+        sl = [slice(None)] * y.ndim
+        sl[row_axis] = slice(halo, y.shape[row_axis] - halo)
+        return y[tuple(sl)]
+
+    spec = [None] * x.ndim
+    spec[row_axis] = axis
+    pspec = P(*spec)
+    sharded = jax.device_put(jnp.asarray(x), NamedSharding(mesh, pspec))
+    fn_sh = shard_map(body, mesh=mesh, in_specs=(pspec,), out_specs=pspec,
+                      check_rep=False)
+    return jax.jit(fn_sh)(sharded)
