@@ -104,9 +104,11 @@ def run_dryrun(n_devices: int, batch: int = 16, hw: int = 32) -> float:
 
 
 def run_pp_sp_dryrun(n_devices: int) -> None:
-    """Pipeline-parallel (one stage per device, ppermute hand-offs) and
-    spatial-parallel (row-sharded conv with halo exchange) on tiny shapes,
+    """Pipeline-parallel (one stage per device, ppermute hand-offs),
+    spatial-parallel (row-sharded conv with halo exchange) and
+    expert-parallel (top-1 MoE, experts sharded per chip) on tiny shapes,
     each checked against its unsharded golden."""
+    from .expert import init_moe_params, moe_apply, moe_reference
     from .pipeline_parallel import (pipeline_apply, sequential_reference,
                                     stack_stage_params)
     from .spatial import spatial_apply
@@ -147,6 +149,14 @@ def run_pp_sp_dryrun(n_devices: int) -> None:
     got_sp = np.asarray(spatial_apply(conv, img, halo=1, mesh=mesh_sp))
     want_sp = np.asarray(jax.jit(conv)(img))
     assert (got_sp == want_sp).all(), "sp dryrun: halo-exchange mismatch"
+
+    # ep: n_devices experts, one per chip, top-1 routing
+    mp = init_moe_params(jax.random.PRNGKey(3), n_devices, 8, 16)
+    xt = jnp.asarray(rng.normal(size=(4 * n_devices, 8)), jnp.float32)
+    mesh_ep = Mesh(np.array(jax.devices()[:n_devices]), ("expert",))
+    got_ep = np.asarray(moe_apply(mp, xt, mesh_ep))
+    want_ep = np.asarray(jax.jit(moe_reference)(mp, xt))
+    assert np.allclose(got_ep, want_ep, atol=1e-5), "ep dryrun: mismatch"
 
 
 def run_executor_dryrun(n_devices: int) -> None:

@@ -1,13 +1,13 @@
-"""Pipeline-parallel (parallel/pipeline_parallel.py) and spatial-parallel
-(parallel/spatial.py) inference on a virtual 8-device CPU mesh, run in a
-subprocess with the axon plugin scrubbed (same pattern as
-tests/test_model_sharding.py — the in-process backend here may be pinned
-to a 1-chip TPU).
+"""Pipeline-parallel (parallel/pipeline_parallel.py), spatial-parallel
+(parallel/spatial.py) and expert-parallel (parallel/expert.py) inference
+on a virtual 8-device CPU mesh, run in a subprocess with the axon plugin
+scrubbed (same pattern as tests/test_model_sharding.py — the in-process
+backend here may be pinned to a 1-chip TPU).
 
 Reference context: the reference's only parallel axis is the stream
-(SURVEY §2j); pp/sp are TPU-native additions. Correctness is judged
-against the unsharded forward, which must match to float tolerance (pp)
-or bit-exactly (sp's halo-exchange contract).
+(SURVEY §2j); pp/sp/ep are TPU-native additions. Correctness is judged
+against the unsharded forward, which must match to float tolerance
+(pp/ep) or bit-exactly (sp's halo-exchange contract).
 """
 
 import os
@@ -98,6 +98,37 @@ try:
 except ValueError:
     pass
 print("SP_OK")
+
+# ---------------- expert parallelism: 8 experts over 8 chips, top-1 MoE
+from scannertools_tpu.parallel.expert import (
+    init_moe_params, moe_apply, moe_reference)
+
+T, F, H, E = 32, 12, 24, 8
+mp = init_moe_params(jax.random.PRNGKey(3), E, F, H)
+xt = jnp.asarray(rng.normal(size=(T, F)), jnp.float32)
+mesh_ep = Mesh(np.array(jax.devices()[:8]), ("expert",))
+got_ep = np.asarray(moe_apply(mp, xt, mesh_ep))
+want_ep = np.asarray(jax.jit(moe_reference)(mp, xt))
+np.testing.assert_allclose(got_ep, want_ep, atol=1e-5)
+assert np.abs(want_ep).sum() > 0  # routing actually produced output
+
+# expert weights must actually be distributed (each chip holds E/n)
+placed = jax.device_put(
+    mp["w1"], jax.sharding.NamedSharding(mesh_ep,
+                                         jax.sharding.PartitionSpec("expert")))
+assert placed.addressable_shards[0].data.shape[0] == E // 8
+
+# 2 experts per chip on a 4-chip axis
+mesh_ep4 = Mesh(np.array(jax.devices()[:4]), ("expert",))
+got_ep4 = np.asarray(moe_apply(mp, xt, mesh_ep4))
+np.testing.assert_allclose(got_ep4, want_ep, atol=1e-5)
+
+# capacity drop semantics: with capacity_factor tiny, both paths agree
+got_c = np.asarray(moe_apply(mp, xt, mesh_ep, capacity_factor=0.25))
+want_c = np.asarray(jax.jit(
+    lambda p, v: moe_reference(p, v, capacity_factor=0.25))(mp, xt))
+np.testing.assert_allclose(got_c, want_c, atol=1e-5)
+print("EP_OK")
 """
 
 
@@ -118,4 +149,5 @@ def test_pipeline_and_spatial_parallel_8dev():
     if "is not in the list of known backends" in res.stderr:
         pytest.skip("virtual CPU mesh unavailable")
     assert res.returncode == 0, res.stderr[-3000:]
-    assert "PP_OK" in res.stdout and "SP_OK" in res.stdout
+    assert "PP_OK" in res.stdout and "SP_OK" in res.stdout \
+        and "EP_OK" in res.stdout
