@@ -79,6 +79,14 @@ class PerfParams:
     prefetch_depth: int = 2
     auto: bool = False
     fixed: tuple = ()  # fields pinned by estimate(**overrides)
+    # Frame ingest format for device-bound sources (VERDICT r3 #1):
+    #   "auto" — decode to planar I420 when the source is 4:2:0 and every
+    #            consumer is a device op: half the host->HBM bytes of RGB24,
+    #            no host swscale, YUV->RGB fused into the device segment
+    #            (±2 LSB vs the RGB24 decode; tests/test_yuv_ingest.py).
+    #   "rgb"  — always decode to RGB24 on the host (bit-exact with cv2).
+    #   "i420" — require the planar path (error if the source can't).
+    ingest: str = "auto"
 
     @classmethod
     def estimate(cls, **overrides) -> "PerfParams":
@@ -113,7 +121,7 @@ class PerfParams:
         return PerfParams(
             work_packet_size=w, io_packet_size=max(io, w),
             pipeline_instances_per_node=self.pipeline_instances_per_node,
-            prefetch_depth=depth,
+            prefetch_depth=depth, ingest=self.ingest,
         )
 
     @classmethod
@@ -123,6 +131,7 @@ class PerfParams:
         io_packet_size: int = 256,
         pipeline_instances_per_node: int = 1,
         prefetch_depth: int = 2,
+        ingest: str = "auto",
         **_ignored,
     ) -> "PerfParams":
         io_packet_size = max(io_packet_size, work_packet_size)
@@ -131,6 +140,7 @@ class PerfParams:
             io_packet_size=io_packet_size,
             pipeline_instances_per_node=pipeline_instances_per_node,
             prefetch_depth=prefetch_depth,
+            ingest=ingest,
         )
 
 

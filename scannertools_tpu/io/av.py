@@ -54,6 +54,15 @@ class NativeVideoDecoder:
             path=path, num_frames=int(nf.value), fps=float(fps.value),
             width=int(w.value), height=int(h.value),
         )
+        sup = ctypes.c_int()
+        full = ctypes.c_int()
+        bt709 = ctypes.c_int()
+        lib.st_av_i420_info(self._h, ctypes.byref(sup), ctypes.byref(full),
+                            ctypes.byref(bt709))
+        #: stream decodes to packed I420 planes (YUV-planar source, even dims)
+        self.i420_supported = bool(sup.value)
+        self.i420_full_range = bool(full.value)
+        self.i420_bt709 = bool(bt709.value)
         self._lock = threading.Lock()
 
     def close(self) -> None:
@@ -87,6 +96,33 @@ class NativeVideoDecoder:
                 err = self._lib.st_av_error(self._h).decode()
                 raise IOError(
                     f"native decode returned {got}/{n} frames for "
+                    f"{self.path}: {err}")
+        return out
+
+    def read_frames_i420(self, indices: Sequence[int],
+                         out: Optional[np.ndarray] = None) -> np.ndarray:
+        """Decode ascending indices as packed I420 planes ->
+        ``[n, H*W*3//2]`` uint8 (Y plane, then U, then V per frame). Half
+        the bytes of RGB24 and no host colorspace math — the YUV->RGB
+        conversion runs on-device inside the fused segment
+        (utils/framechunk.py). Requires ``self.i420_supported``."""
+        n = len(indices)
+        fb = self.meta.height * self.meta.width * 3 // 2
+        if out is None:
+            out = np.empty((n, fb), np.uint8)
+        idx = np.ascontiguousarray(np.asarray(indices, np.int64))
+        if not out.flags["C_CONTIGUOUS"]:
+            raise ValueError("out buffer must be C-contiguous")
+        with self._lock:
+            if not self._h:
+                raise RuntimeError("decoder closed")
+            got = self._lib.st_av_read_i420(
+                self._h, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                n, out.ctypes.data_as(ctypes.c_void_p))
+            if got != n:
+                err = self._lib.st_av_error(self._h).decode()
+                raise IOError(
+                    f"native i420 decode returned {got}/{n} frames for "
                     f"{self.path}: {err}")
         return out
 

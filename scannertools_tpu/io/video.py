@@ -159,6 +159,10 @@ class ParallelVideoDecoder:
         self.path = path
         self._decs = [_single_decoder(path) for _ in range(threads)]
         self.meta = self._decs[0].meta
+        d0 = self._decs[0]
+        self.i420_supported = getattr(d0, "i420_supported", False)
+        self.i420_full_range = getattr(d0, "i420_full_range", False)
+        self.i420_bt709 = getattr(d0, "i420_bt709", False)
         self._pool = ThreadPoolExecutor(
             max_workers=threads, thread_name_prefix="st-decode")
 
@@ -205,10 +209,29 @@ class ParallelVideoDecoder:
             f.result()  # re-raises worker decode errors
         return out
 
+    def read_frames_i420(self, indices: Sequence[int],
+                         out: Optional[np.ndarray] = None) -> np.ndarray:
+        if out is None:
+            fb = self.meta.height * self.meta.width * 3 // 2
+            out = np.empty((len(indices), fb), np.uint8)
+        if len(indices) == 0:
+            return out
+        spans = self._split(indices)
+        futs = [
+            self._pool.submit(
+                self._decs[j].read_frames_i420, list(indices[a:b]), out[a:b])
+            for j, (a, b) in enumerate(spans)
+        ]
+        for f in futs:
+            f.result()  # re-raises worker decode errors
+        return out
+
 
 class Cv2VideoDecoder:
     """Stateful sequential decoder over one container, optimized for sorted
     index streams (the executor always requests ascending indices)."""
+
+    i420_supported = False  # cv2 only exposes BGR frames
 
     def __init__(self, path: str):
         if cv2 is None:

@@ -253,6 +253,11 @@ def histogram(ctx, frames, bins: int = BINS, use_pallas: bool = True):
     assert bins == BINS, "reference fixes 16 bins (histogram_kernel_cpu.cpp:8)"
     if not isinstance(frames, FrameChunk):
         return _histogram_jnp(jnp.asarray(frames))
+    if frames.fmt != "rgb":
+        # i420 ingest: fused on-device YUV->RGB, then bin. The flat
+        # byte-stream formulations above assume RGB interleave; the
+        # converted RGB is integer-valued f32, so u8 cast is exact.
+        return _histogram_jnp(frames.hwc_f32().astype(jnp.uint8))
     if frames.c != 3:
         return _histogram_jnp_flat(jnp.asarray(frames.flat), frames.npix,
                                    frames.c)

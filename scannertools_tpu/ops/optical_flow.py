@@ -366,17 +366,30 @@ def farneback_pairs(
 @register_op("OpticalFlow", kind="device", stencil=(0, 1), outputs=("flow",))
 def optical_flow(ctx, frames, levels: int = 3, pyr_scale: float = 0.5,
                  win_size: int = 15, iters: int = 3, poly_n: int = 5,
-                 poly_sigma: float = 1.2, warp_px: int = 16):
+                 poly_sigma: float = 1.2, warp_px: int = 16,
+                 out_dtype: str = "float32"):
     """frames: FrameChunk/[T+1, H, W, 3] u8 (1-frame forward halo) ->
-    [T, H, W, 2] f32 flow between consecutive frames. ``warp_px`` bounds
-    the fast shift-warp's displacement (0 = exact gather warp)."""
+    [T, H, W, 2] flow between consecutive frames. ``warp_px`` bounds
+    the fast shift-warp's displacement (0 = exact gather warp).
+
+    ``out_dtype="float16"`` emits half-precision flow: 4× fewer device→host
+    readback bytes for store-the-flow-field pipelines (the reference's
+    tests/test_all.py:162-177 pattern, which moves 2.4 MB/frame at 480p in
+    f32). Flow magnitudes are O(frame size) pixels, so f16's ~3 significant
+    digits cost <0.1 px — the ``flow`` serde upcasts to f32 on load, keeping
+    the reference's H×W×2 float32 load contract (types.py 'flow')."""
     if isinstance(frames, FrameChunk):
         x = frames.hwc_f32().astype(jnp.uint8)
     else:
         x = jnp.asarray(frames)
     gray = _rgb2gray_u8(x)[..., 0].astype(jnp.float32)  # [T+1, H, W]
-    return farneback_pairs(
+    flow = farneback_pairs(
         gray[:-1], gray[1:], levels=levels, pyr_scale=pyr_scale,
         win_size=win_size, iters=iters, poly_n=poly_n, poly_sigma=poly_sigma,
         warp_px=warp_px,
     )
+    if out_dtype == "float16":
+        flow = flow.astype(jnp.float16)
+    elif out_dtype != "float32":
+        raise ValueError(f"out_dtype must be float32|float16, got {out_dtype}")
+    return flow

@@ -115,7 +115,8 @@ def _resolve_aux(opdef, node, ctx, placement, mesh=None, cpu_dev=None):
 
 def _aval_key(a) -> tuple:
     if isinstance(a, FrameChunk):
-        return ("fc", tuple(a.flat.shape), str(a.flat.dtype), a.h, a.w, a.c)
+        return ("fc", tuple(a.flat.shape), str(a.flat.dtype), a.h, a.w, a.c,
+                a.fmt, a.full_range, a.bt709)
     return (tuple(a.shape), str(a.dtype))
 
 
@@ -372,7 +373,7 @@ class Executor:
         return [s]
 
     def _resume_signature(self, order, output, rows_per, W,
-                          in_streams) -> str:
+                          in_streams, ingest: str = "auto") -> str:
         """Content hash namespacing CacheMode.Resume shards. Covers the full
         graph topology (per-node input edges by topo position), op params
         (deterministically serialized — array params hashed by bytes, not
@@ -413,7 +414,7 @@ class Executor:
                 except (AttributeError, OSError):
                     pass
             idents.append(ident)
-        sig_src = repr((rows_per, W, nodes_sig, sinks_sig, idents))
+        sig_src = repr((rows_per, W, nodes_sig, sinks_sig, idents, ingest))
         return hashlib.sha256(sig_src.encode()).hexdigest()[:12]
 
     def _run_job(self, output, order, need, sources, job, sink_streams, perf,
@@ -503,7 +504,7 @@ class Executor:
             # graph wiring / input video / sinked column / chunk size can
             # never resume from foreign shards
             sig = self._resume_signature(order, output, rows_per, W,
-                                         in_streams)
+                                         in_streams, perf.ingest)
             for _, w, _ in writers:
                 w.shard_key = sig
             done = None
@@ -538,7 +539,11 @@ class Executor:
         decoders: List[Any] = []
         rings: List[Any] = []
         uploads: List[bool] = []
+        yuvs: List[bool] = []
         metas: List[Dict[str, Any]] = []
+        import os as _os2
+
+        no_yuv = bool(_os2.environ.get("ST_TPU_NO_YUV"))
         for si_idx, (src, ins) in enumerate(zip(sources, in_streams)):
             decoder = (warm or {}).pop((job, si_idx), None)
             if decoder is None:
@@ -548,13 +553,6 @@ class Executor:
             if decoder is not None:
                 m = ins.metadata()
                 meta = {"fps": m.fps, "width": m.width, "height": m.height}
-            ring = None
-            if decoder is not None and meta:
-                from ..io.prefetch import ChunkRing
-
-                s_lo, s_hi = need[src.id]
-                frame_bytes = meta["height"] * meta["width"] * 3
-                ring = ChunkRing((W + (s_hi - s_lo)) * frame_bytes, depth + 2)
 
             # Double-buffered host->HBM: when every consumer of this input's
             # frames is a device op, the prefetch thread uploads right after
@@ -573,11 +571,36 @@ class Executor:
                 n for n in order if isinstance(n, OpNode)
                 and any(e.node.id in frame_node_ids for e in n.inputs.values())
             ]
-            uploads.append(bool(consumers) and all(
+            upload = bool(consumers) and all(
                 get_op(n.name).kind == "device"
                 or get_op(n.name).device_inputs  # host op driving nested
                 for n in consumers               # device programs (pose)
-            ) and decoder is not None)
+            ) and decoder is not None
+            # I420 ingest (VERDICT r3 #1): frames headed straight for the
+            # device travel as 1.5 B/px YUV planes (half the uplink bytes of
+            # RGB24, zero host swscale) with the YUV->RGB conversion fused
+            # into the device segment (utils/framechunk.py). Host-consumed
+            # frames keep the RGB24 decode — no upload to save, and host
+            # ops expect RGB arrays for free.
+            can_i420 = getattr(decoder, "i420_supported", False)
+            if perf.ingest == "i420" and decoder is not None and not can_i420:
+                raise ValueError(
+                    "PerfParams(ingest='i420') but the source cannot decode "
+                    "to planar I420 (non-4:2:0 pixel format, odd dims, or "
+                    "the cv2 fallback decoder)")
+            yuv = (upload and not no_yuv and can_i420
+                   and perf.ingest in ("auto", "i420"))
+            ring = None
+            if decoder is not None and meta:
+                from ..io.prefetch import ChunkRing
+
+                s_lo, s_hi = need[src.id]
+                frame_bytes = meta["height"] * meta["width"] * 3
+                if yuv:
+                    frame_bytes = meta["height"] * meta["width"] * 3 // 2
+                ring = ChunkRing((W + (s_hi - s_lo)) * frame_bytes, depth + 2)
+            uploads.append(upload)
+            yuvs.append(yuv)
             decoders.append(decoder)
             rings.append(ring)
             metas.append(meta)
@@ -595,6 +618,7 @@ class Executor:
                 ]
                 src_rows = [rows[p] for p in positions]
                 decoder, ring, meta = decoders[si], rings[si], metas[si]
+                yuv = yuvs[si]
                 out_buf = None
                 if decoder is not None and ring is not None:
                     # slot waits (consumer busy, e.g. compiling) are not
@@ -602,15 +626,33 @@ class Executor:
                     with self.profiler.span("source:wait_slot"):
                         slot = ring.acquire()
                     h, w = meta["height"], meta["width"]
-                    out_buf = slot[: len(src_rows) * h * w * 3].reshape(
-                        len(src_rows), h, w, 3
-                    )
+                    if yuv:
+                        fb = h * w * 3 // 2
+                        out_buf = slot[: len(src_rows) * fb].reshape(
+                            len(src_rows), fb
+                        )
+                    else:
+                        out_buf = slot[: len(src_rows) * h * w * 3].reshape(
+                            len(src_rows), h, w, 3
+                        )
                 with self.profiler.span("source:read"):
                     if decoder is not None:
-                        frames = decoder.read_frames(src_rows, out=out_buf)
-                        if ring is not None:
-                            ring.commit()
-                        data = FrameChunk.from_hwc(frames)
+                        if yuv:
+                            planes = decoder.read_frames_i420(
+                                src_rows, out=out_buf)
+                            if ring is not None:
+                                ring.commit()
+                            data = FrameChunk.from_i420(
+                                planes, meta["height"], meta["width"],
+                                full_range=getattr(
+                                    decoder, "i420_full_range", False),
+                                bt709=getattr(decoder, "i420_bt709", False))
+                        else:
+                            frames = decoder.read_frames(
+                                src_rows, out=out_buf)
+                            if ring is not None:
+                                ring.commit()
+                            data = FrameChunk.from_hwc(frames)
                         if uploads[si]:
                             with self.profiler.span("source:upload"):
                                 data = data.device()

@@ -37,6 +37,7 @@ struct StAv {
   AVFormatContext* fmt = nullptr;
   AVCodecContext* dec = nullptr;
   SwsContext* sws = nullptr;
+  int sws_dst_fmt = -1;        // AVPixelFormat the cached sws converts to
   AVFrame* frame = nullptr;
   AVPacket* pkt = nullptr;
   int stream = -1;
@@ -94,6 +95,134 @@ int next_frame(StAv* h) {
       break;
     }
   }
+}
+// Output pixel modes for st_av_read_impl.
+constexpr int kOutRGB24 = 0;  // interleaved RGB, 3 B/px (host swscale)
+constexpr int kOutI420 = 1;   // planar Y + U + V, 1.5 B/px (plane copy)
+
+// Write the current h->frame into dst in the requested mode. Returns 0 on
+// success. I420 mode: when the decoded frame is already 4:2:0 planar the
+// planes are row-copied (no pixel math on the host at all — the YUV->RGB
+// conversion happens on the TPU inside the fused segment, see
+// utils/framechunk.py); other source formats go through one sws convert to
+// YUV420P (still cheaper than YUV->RGB: subsample, no matrix).
+int emit_frame(StAv* h, uint8_t* dst, int mode) {
+  const int W = h->width, H = h->height;
+  if (mode == kOutI420) {
+    const int cw = W / 2, ch = H / 2;
+    uint8_t* dy = dst;
+    uint8_t* du = dst + (size_t)W * H;
+    uint8_t* dv = du + (size_t)cw * ch;
+    int f = h->frame->format;
+    if (f == AV_PIX_FMT_YUV420P || f == AV_PIX_FMT_YUVJ420P) {
+      for (int r = 0; r < H; ++r)
+        std::memcpy(dy + (size_t)r * W,
+                    h->frame->data[0] + (size_t)r * h->frame->linesize[0], W);
+      for (int r = 0; r < ch; ++r) {
+        std::memcpy(du + (size_t)r * cw,
+                    h->frame->data[1] + (size_t)r * h->frame->linesize[1], cw);
+        std::memcpy(dv + (size_t)r * cw,
+                    h->frame->data[2] + (size_t)r * h->frame->linesize[2], cw);
+      }
+      return 0;
+    }
+    if (!h->sws || h->sws_dst_fmt != AV_PIX_FMT_YUV420P) {
+      if (h->sws) sws_freeContext(h->sws);
+      h->sws = sws_getContext(W, H, (AVPixelFormat)f, W, H,
+                              AV_PIX_FMT_YUV420P, SWS_BILINEAR, nullptr,
+                              nullptr, nullptr);
+      h->sws_dst_fmt = AV_PIX_FMT_YUV420P;
+      if (!h->sws) {
+        set_err(h, "sws_getContext failed");
+        return -1;
+      }
+    }
+    uint8_t* planes[3] = {dy, du, dv};
+    int strides[3] = {W, cw, cw};
+    sws_scale(h->sws, h->frame->data, h->frame->linesize, 0, H, planes,
+              strides);
+    return 0;
+  }
+  if (!h->sws || h->sws_dst_fmt != AV_PIX_FMT_RGB24) {
+    if (h->sws) sws_freeContext(h->sws);
+    h->sws = sws_getContext(W, H, (AVPixelFormat)h->frame->format, W, H,
+                            AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr, nullptr,
+                            nullptr);
+    h->sws_dst_fmt = AV_PIX_FMT_RGB24;
+    if (!h->sws) {
+      set_err(h, "sws_getContext failed");
+      return -1;
+    }
+  }
+  uint8_t* d[1] = {dst};
+  int stride[1] = {W * 3};
+  sws_scale(h->sws, h->frame->data, h->frame->linesize, 0, H, d, stride);
+  return 0;
+}
+
+int64_t st_av_read_impl(StAv* h, const int64_t* indices, int64_t n,
+                        uint8_t* out, int mode) {
+  const size_t frame_bytes = mode == kOutI420
+                                 ? (size_t)h->width * h->height * 3 / 2
+                                 : (size_t)h->width * h->height * 3;
+  int64_t k = 0;
+  for (int64_t i = 0; i < n;) {
+    // run = indices[i..j): ascending, gaps <= kSeekGap
+    int64_t j = i + 1;
+    while (j < n && indices[j] > indices[j - 1] &&
+           indices[j] - indices[j - 1] <= kSeekGap)
+      ++j;
+    int64_t first = indices[i];
+    if (first < h->next_index || first - h->next_index > kSeekGap) {
+      int64_t target = index_to_pts(h, first);
+      if (av_seek_frame(h->fmt, h->stream, target, AVSEEK_FLAG_BACKWARD) < 0) {
+        // fall back: rewind to start
+        av_seek_frame(h->fmt, h->stream, h->start_pts,
+                      AVSEEK_FLAG_BACKWARD | AVSEEK_FLAG_BYTE);
+      }
+      avcodec_flush_buffers(h->dec);
+      h->draining = false;
+      h->next_index = -1;  // unknown until the next decoded frame tells us
+    }
+    int64_t last = indices[j - 1];
+    while (true) {
+      int r = next_frame(h);
+      if (r <= 0) {
+        set_err(h, r == 0 ? "eof before requested frame" : "decode error");
+        return k;
+      }
+      int64_t pts = h->frame->best_effort_timestamp;
+      int64_t idx = pts == AV_NOPTS_VALUE ? h->next_index
+                                          : pts_to_index(h, pts);
+      if (h->next_index < 0) h->next_index = idx;  // post-seek resync
+      // trust container pts when present; otherwise sequential counting
+      if (pts == AV_NOPTS_VALUE) idx = h->next_index;
+      h->next_index = idx + 1;
+      if (idx < indices[i]) {
+        av_frame_unref(h->frame);
+        continue;  // pre-roll from the keyframe
+      }
+      // emit this frame for every requested index it matches (handles
+      // requests that repeat or that pts rounding folds together)
+      while (i < j && indices[i] <= idx) {
+        if (indices[i] == idx) {
+          if (emit_frame(h, out + k * frame_bytes, mode) < 0) {
+            av_frame_unref(h->frame);
+            return k;
+          }
+          ++k;
+        }
+        ++i;
+      }
+      av_frame_unref(h->frame);
+      if (i >= j) break;
+      if (idx > last) {  // overshoot: pts gap — give up on the rest of run
+        set_err(h, "pts gap: requested frame not found");
+        return k;
+      }
+    }
+  }
+  return k;
 }
 }  // namespace
 
@@ -165,77 +294,42 @@ const char* st_av_error(void* p) { return static_cast<StAv*>(p)->err; }
 // Decode ascending frame indices into out ([n, H, W, 3] RGB24 contiguous).
 // Returns number of frames written (== n on success; fewer => error/EOF).
 int64_t st_av_read(void* p, const int64_t* indices, int64_t n, uint8_t* out) {
+  return st_av_read_impl(static_cast<StAv*>(p), indices, n, out, kOutRGB24);
+}
+
+// Decode ascending frame indices into out as packed I420 planes per frame
+// (Y: H*W bytes, U: H/2*W/2, V: H/2*W/2 — 1.5 B/px, half the RGB24 uplink
+// and zero host colorspace math for 4:2:0 sources). Returns frames written.
+int64_t st_av_read_i420(void* p, const int64_t* indices, int64_t n,
+                        uint8_t* out) {
+  return st_av_read_impl(static_cast<StAv*>(p), indices, n, out, kOutI420);
+}
+
+// I420 readability + colorimetry for this stream. supported=1 when the
+// frame dims are even (I420 chroma is 2x2 subsampled). full_range=1 for
+// JPEG-range sources (yuvj420p / color_range tag); bt709=1 when the stream
+// tags BT.709 matrix coefficients (untagged SD content defaults to BT.601,
+// matching swscale's default).
+int st_av_i420_info(void* p, int* supported, int* full_range, int* bt709) {
   auto* h = static_cast<StAv*>(p);
-  const size_t frame_bytes = (size_t)h->width * h->height * 3;
-  int64_t k = 0;
-  for (int64_t i = 0; i < n;) {
-    // run = indices[i..j): ascending, gaps <= kSeekGap
-    int64_t j = i + 1;
-    while (j < n && indices[j] > indices[j - 1] &&
-           indices[j] - indices[j - 1] <= kSeekGap)
-      ++j;
-    int64_t first = indices[i];
-    if (first < h->next_index || first - h->next_index > kSeekGap) {
-      int64_t target = index_to_pts(h, first);
-      if (av_seek_frame(h->fmt, h->stream, target, AVSEEK_FLAG_BACKWARD) < 0) {
-        // fall back: rewind to start
-        av_seek_frame(h->fmt, h->stream, h->start_pts,
-                      AVSEEK_FLAG_BACKWARD | AVSEEK_FLAG_BYTE);
-      }
-      avcodec_flush_buffers(h->dec);
-      h->draining = false;
-      h->next_index = -1;  // unknown until the next decoded frame tells us
-    }
-    int64_t last = indices[j - 1];
-    while (true) {
-      int r = next_frame(h);
-      if (r <= 0) {
-        set_err(h, r == 0 ? "eof before requested frame" : "decode error");
-        return k;
-      }
-      int64_t pts = h->frame->best_effort_timestamp;
-      int64_t idx = pts == AV_NOPTS_VALUE ? h->next_index
-                                          : pts_to_index(h, pts);
-      if (h->next_index < 0) h->next_index = idx;  // post-seek resync
-      // trust container pts when present; otherwise sequential counting
-      if (pts == AV_NOPTS_VALUE) idx = h->next_index;
-      h->next_index = idx + 1;
-      if (idx < indices[i]) {
-        av_frame_unref(h->frame);
-        continue;  // pre-roll from the keyframe
-      }
-      // emit this frame for every requested index it matches (handles
-      // requests that repeat or that pts rounding folds together)
-      while (i < j && indices[i] <= idx) {
-        if (indices[i] == idx) {
-          if (!h->sws) {
-            h->sws = sws_getContext(
-                h->width, h->height, (AVPixelFormat)h->frame->format,
-                h->width, h->height, AV_PIX_FMT_RGB24, SWS_BILINEAR,
-                nullptr, nullptr, nullptr);
-            if (!h->sws) {
-              set_err(h, "sws_getContext failed");
-              av_frame_unref(h->frame);
-              return k;
-            }
-          }
-          uint8_t* dst[1] = {out + k * frame_bytes};
-          int dst_stride[1] = {h->width * 3};
-          sws_scale(h->sws, h->frame->data, h->frame->linesize, 0,
-                    h->height, dst, dst_stride);
-          ++k;
-        }
-        ++i;
-      }
-      av_frame_unref(h->frame);
-      if (i >= j) break;
-      if (idx > last) {  // overshoot: pts gap — give up on the rest of run
-        set_err(h, "pts gap: requested frame not found");
-        return k;
-      }
-    }
-  }
-  return k;
+  int f = h->dec->pix_fmt;
+  // YUV-planar sources only: sws YUV->YUV is a chroma resample (no matrix
+  // change), so the stream's own range/colorspace tags stay valid. RGB or
+  // exotic sources fall back to the RGB24 path.
+  bool yuv_src =
+      f == AV_PIX_FMT_YUV420P || f == AV_PIX_FMT_YUVJ420P ||
+      f == AV_PIX_FMT_YUV422P || f == AV_PIX_FMT_YUVJ422P ||
+      f == AV_PIX_FMT_YUV444P || f == AV_PIX_FMT_YUVJ444P ||
+      f == AV_PIX_FMT_NV12 || f == AV_PIX_FMT_NV21;
+  *supported =
+      (yuv_src && h->width % 2 == 0 && h->height % 2 == 0) ? 1 : 0;
+  *full_range = (h->dec->color_range == AVCOL_RANGE_JPEG ||
+                 f == AV_PIX_FMT_YUVJ420P || f == AV_PIX_FMT_YUVJ422P ||
+                 f == AV_PIX_FMT_YUVJ444P)
+                    ? 1
+                    : 0;
+  *bt709 = (h->dec->colorspace == AVCOL_SPC_BT709) ? 1 : 0;
+  return 0;
 }
 
 void st_av_close(void* p) {

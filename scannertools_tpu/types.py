@@ -72,15 +72,25 @@ register_type(
 
 # Flow: H x W x 2 float32 with a small dims header so parse needs no context
 # (reference types.py 'flow' knows dims from FrameType metadata instead).
+# A float16 array serializes as f16 bytes under the same header (the compact
+# sink encoding of OpticalFlow(out_dtype="float16") — 4× smaller elements);
+# parse distinguishes by payload size and upcasts, so loads always return the
+# reference's H×W×2 float32 contract (tests/test_all.py:173-177).
 def _ser_flow(a) -> bytes:
-    a = np.asarray(a, np.float32)
+    a = np.asarray(a)
+    if a.dtype != np.float16:
+        a = np.asarray(a, np.float32)
     h, w = a.shape[0], a.shape[1]
     return np.array([h, w], np.int32).tobytes() + a.tobytes()
 
 
 def _parse_flow(b: bytes):
     h, w = np.frombuffer(b[:8], np.int32)
-    return np.frombuffer(b[8:], np.float32).reshape(int(h), int(w), 2)
+    body = b[8:]
+    if len(body) == int(h) * int(w) * 2 * 2:  # f16 payload
+        return np.frombuffer(body, np.float16).reshape(
+            int(h), int(w), 2).astype(np.float32)
+    return np.frombuffer(body, np.float32).reshape(int(h), int(w), 2)
 
 
 register_type("flow", _ser_flow, _parse_flow)

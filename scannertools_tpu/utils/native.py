@@ -123,3 +123,11 @@ def _configure(name: str, lib: ctypes.CDLL) -> None:
         lib.st_av_audio_encode.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
             ctypes.c_int64, ctypes.c_int]
+        lib.st_av_read_i420.restype = ctypes.c_int64
+        lib.st_av_read_i420.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_void_p]
+        lib.st_av_i420_info.restype = ctypes.c_int
+        lib.st_av_i420_info.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
