@@ -32,6 +32,11 @@ import jax.numpy as jnp
 from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+# Jitted shard_map runners keyed on (mesh, axis, capacity) — jit caches by
+# function identity, so a fresh closure per call would retrace every
+# invocation (ADVICE r3).
+_RUNNER_CACHE: dict = {}
+
 
 def init_moe_params(rng: jax.Array, n_experts: int, d_model: int,
                     d_hidden: int) -> Dict[str, jnp.ndarray]:
@@ -80,28 +85,34 @@ def moe_apply(params: Dict[str, jnp.ndarray], x: jnp.ndarray,
     T = int(x.shape[0])
     capacity = max(1, int(capacity_factor * T / E))
 
-    def body(p, xs):
-        # p["w1"]/p["w2"] arrive [E/n, F, H]/[E/n, H, F]; router replicated
-        idx = jax.lax.axis_index(axis)
-        e_local = p["w1"].shape[0]
-        logits = xs @ p["router"]                              # [T, E]
-        combine = _dispatch_mask(logits, capacity)             # [T, E, C]
-        # my experts' slice of the dispatch
-        mine = jax.lax.dynamic_slice_in_dim(
-            combine, idx * e_local, e_local, axis=1)           # [T, e, C]
-        dispatched = jnp.einsum("tec,tf->ecf", (mine > 0).astype(xs.dtype),
-                                xs)                            # [e, C, F]
-        h = jax.nn.relu(jnp.einsum("ecf,efh->ech", dispatched, p["w1"]))
-        y = jnp.einsum("ech,ehf->ecf", h, p["w2"])             # [e, C, F]
-        out = jnp.einsum("tec,ecf->tf", mine, y)               # partial
-        return jax.lax.psum(out, axis)
-
     pspec = {"router": P(), "w1": P(axis), "w2": P(axis)}
+    key = (mesh, axis, capacity)
+    fn = _RUNNER_CACHE.get(key)
+    if fn is None:
+
+        def body(p, xs):
+            # p["w1"]/p["w2"] arrive [E/n, F, H]/[E/n, H, F]; router repl.
+            idx = jax.lax.axis_index(axis)
+            e_local = p["w1"].shape[0]
+            logits = xs @ p["router"]                          # [T, E]
+            combine = _dispatch_mask(logits, capacity)         # [T, E, C]
+            # my experts' slice of the dispatch
+            mine = jax.lax.dynamic_slice_in_dim(
+                combine, idx * e_local, e_local, axis=1)       # [T, e, C]
+            dispatched = jnp.einsum("tec,tf->ecf",
+                                    (mine > 0).astype(xs.dtype),
+                                    xs)                        # [e, C, F]
+            h = jax.nn.relu(jnp.einsum("ecf,efh->ech", dispatched, p["w1"]))
+            y = jnp.einsum("ech,ehf->ecf", h, p["w2"])         # [e, C, F]
+            out = jnp.einsum("tec,ecf->tf", mine, y)           # partial
+            return jax.lax.psum(out, axis)
+
+        fn = jax.jit(shard_map(body, mesh=mesh, in_specs=(pspec, P()),
+                               out_specs=P(), check_rep=False))
+        _RUNNER_CACHE[key] = fn
     placed = {k: jax.device_put(v, NamedSharding(mesh, pspec[k]))
               for k, v in params.items()}
-    fn = shard_map(body, mesh=mesh, in_specs=(pspec, P()), out_specs=P(),
-                   check_rep=False)
-    return jax.jit(fn)(placed, jnp.asarray(x))
+    return fn(placed, jnp.asarray(x))
 
 
 def moe_reference(params: Dict[str, jnp.ndarray], x: jnp.ndarray,

@@ -41,6 +41,13 @@ def stack_stage_params(per_stage: list) -> Any:
         lambda *leaves: jnp.stack(leaves, axis=0), *per_stage)
 
 
+# Jitted shard_map runners keyed on (stage_fn, mesh, axis, params treedef):
+# jit caches by function identity, so a fresh closure per call would
+# retrace every invocation (ADVICE r3) — fatal if pp runs per-chunk in the
+# executor. jit itself still retraces per input shape under each key.
+_RUNNER_CACHE: dict = {}
+
+
 def pipeline_apply(stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
                    stacked_params: Any,
                    x: jnp.ndarray,
@@ -60,52 +67,67 @@ def pipeline_apply(stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
     Returns ``[M, B, ...]`` outputs after all S stages, replicated.
     """
     S = int(mesh.shape[axis])
-    M = int(x.shape[0])
+    for path, leaf in jax.tree_util.tree_flatten_with_path(stacked_params)[0]:
+        if leaf.shape[0] != S:
+            raise ValueError(
+                f"stacked_params leaf {jax.tree_util.keystr(path)} has "
+                f"leading (stage) axis {leaf.shape[0]} but mesh axis "
+                f"'{axis}' has {S} devices — P('{axis}') would split it "
+                f"k-per-device and silently apply only every k-th stage; "
+                f"stack exactly S={S} stages (stack_stage_params)")
 
-    def body(params, xs):
-        # params leaves arrive [1, ...] (my stage); xs replicated [M, B, ...]
-        my = jax.tree_util.tree_map(lambda p: p[0], params)
-        idx = jax.lax.axis_index(axis)
-        fwd = [(i, i + 1) for i in range(S - 1)]  # stage i -> i+1
-
-        def tick(carry, t):
-            buf, outs = carry
-            # stage 0 consumes microbatch t (clamped during drain ticks —
-            # drained garbage can never be recorded, see `m` below)
-            inp = jax.lax.dynamic_index_in_dim(
-                xs, jnp.clip(t, 0, M - 1), axis=0, keepdims=False)
-            cur = jnp.where(idx == 0, inp, buf)
-            h = stage_fn(my, cur)
-            # last stage finishes microbatch m = t - (S-1) at this tick
-            m = t - (S - 1)
-            rec = jnp.where((idx == S - 1) & (m >= 0), h,
-                            jnp.zeros_like(h))
-            outs = jax.lax.dynamic_update_index_in_dim(
-                outs, rec + jax.lax.dynamic_index_in_dim(
-                    outs, jnp.clip(m, 0, M - 1), axis=0, keepdims=False),
-                jnp.clip(m, 0, M - 1), axis=0)
-            # hand my activation to the next stage (stage 0 receives
-            # nothing — absent sources yield zeros, overwritten by `cur`)
-            buf = jax.lax.ppermute(h, axis, fwd) if S > 1 else buf
-            return (buf, outs), None
-
-        # shape/dtype probe — abstract only, no FLOPs
-        h0 = jax.eval_shape(stage_fn, my, jax.eval_shape(lambda a: a[0], xs))
-        outs0 = jnp.zeros((M,) + tuple(h0.shape), h0.dtype)
-        (_, outs), _ = jax.lax.scan(
-            tick, (jnp.zeros(h0.shape, h0.dtype), outs0),
-            jnp.arange(M + S - 1))
-        # only the last stage wrote non-zeros; psum replicates the result
-        return jax.lax.psum(outs, axis)
-
+    treedef = jax.tree_util.tree_structure(stacked_params)
+    key = (stage_fn, mesh, axis, treedef)
+    fn = _RUNNER_CACHE.get(key)
     pspec = jax.tree_util.tree_map(lambda _: P(axis), stacked_params)
-    fn = shard_map(body, mesh=mesh,
-                   in_specs=(pspec, P()), out_specs=P(),
-                   check_rep=False)
+    if fn is None:
+
+        def body(params, xs):
+            # params leaves arrive [1, ...] (my stage); xs [M, B, ...]
+            M = xs.shape[0]
+            my = jax.tree_util.tree_map(lambda p: p[0], params)
+            idx = jax.lax.axis_index(axis)
+            fwd = [(i, i + 1) for i in range(S - 1)]  # stage i -> i+1
+
+            def tick(carry, t):
+                buf, outs = carry
+                # stage 0 consumes microbatch t (clamped during drain
+                # ticks — drained garbage can never be recorded, see `m`)
+                inp = jax.lax.dynamic_index_in_dim(
+                    xs, jnp.clip(t, 0, M - 1), axis=0, keepdims=False)
+                cur = jnp.where(idx == 0, inp, buf)
+                h = stage_fn(my, cur)
+                # last stage finishes microbatch m = t-(S-1) at this tick
+                m = t - (S - 1)
+                rec = jnp.where((idx == S - 1) & (m >= 0), h,
+                                jnp.zeros_like(h))
+                outs = jax.lax.dynamic_update_index_in_dim(
+                    outs, rec + jax.lax.dynamic_index_in_dim(
+                        outs, jnp.clip(m, 0, M - 1), axis=0, keepdims=False),
+                    jnp.clip(m, 0, M - 1), axis=0)
+                # hand my activation to the next stage (stage 0 receives
+                # nothing — absent sources yield zeros, overwritten by cur)
+                buf = jax.lax.ppermute(h, axis, fwd) if S > 1 else buf
+                return (buf, outs), None
+
+            # shape/dtype probe — abstract only, no FLOPs
+            h0 = jax.eval_shape(stage_fn, my,
+                                jax.eval_shape(lambda a: a[0], xs))
+            outs0 = jnp.zeros((M,) + tuple(h0.shape), h0.dtype)
+            (_, outs), _ = jax.lax.scan(
+                tick, (jnp.zeros(h0.shape, h0.dtype), outs0),
+                jnp.arange(M + S - 1))
+            # only the last stage wrote non-zeros; psum replicates
+            return jax.lax.psum(outs, axis)
+
+        fn = jax.jit(shard_map(body, mesh=mesh,
+                               in_specs=(pspec, P()), out_specs=P(),
+                               check_rep=False))
+        _RUNNER_CACHE[key] = fn
     placed = jax.tree_util.tree_map(
         lambda leaf, sp: jax.device_put(leaf, NamedSharding(mesh, sp)),
         stacked_params, pspec)
-    return jax.jit(fn)(placed, jnp.asarray(x))
+    return fn(placed, jnp.asarray(x))
 
 
 def sequential_reference(stage_fn, stacked_params, x):

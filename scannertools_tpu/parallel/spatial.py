@@ -29,6 +29,11 @@ import jax.numpy as jnp
 from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+# Jitted shard_map runners keyed on (fn, mesh, axis, row_axis, halo, ndim) —
+# jit caches by function identity, so a fresh closure per call would
+# retrace every invocation (ADVICE r3).
+_RUNNER_CACHE: dict = {}
+
 
 def halo_exchange_rows(x: jnp.ndarray, halo: int, axis_name: str,
                        row_axis: int = 1) -> jnp.ndarray:
@@ -80,23 +85,27 @@ def spatial_apply(fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
         raise ValueError(
             f"rows={rows} must divide mesh axis {n} with local shard "
             f">= halo={halo}")
-    local = rows // n
-
-    def body(xs):
-        padded = halo_exchange_rows(xs, halo, axis, row_axis=row_axis)
-        # global row index of each padded row; True = inside the image
-        idx = jax.lax.axis_index(axis)
-        g = idx * local + (jnp.arange(local + 2 * halo) - halo)
-        row_mask = (g >= 0) & (g < rows)
-        y = fn(padded, row_mask)
-        sl = [slice(None)] * y.ndim
-        sl[row_axis] = slice(halo, y.shape[row_axis] - halo)
-        return y[tuple(sl)]
-
     spec = [None] * x.ndim
     spec[row_axis] = axis
     pspec = P(*spec)
+    key = (fn, mesh, axis, row_axis, halo, x.ndim)
+    fn_sh = _RUNNER_CACHE.get(key)
+    if fn_sh is None:
+
+        def body(xs):
+            local = xs.shape[row_axis]  # my shard's rows (static per trace)
+            padded = halo_exchange_rows(xs, halo, axis, row_axis=row_axis)
+            # global row index of each padded row; True = inside the image
+            idx = jax.lax.axis_index(axis)
+            g = idx * local + (jnp.arange(local + 2 * halo) - halo)
+            row_mask = (g >= 0) & (g < local * n)
+            y = fn(padded, row_mask)
+            sl = [slice(None)] * y.ndim
+            sl[row_axis] = slice(halo, y.shape[row_axis] - halo)
+            return y[tuple(sl)]
+
+        fn_sh = jax.jit(shard_map(body, mesh=mesh, in_specs=(pspec,),
+                                  out_specs=pspec, check_rep=False))
+        _RUNNER_CACHE[key] = fn_sh
     sharded = jax.device_put(jnp.asarray(x), NamedSharding(mesh, pspec))
-    fn_sh = shard_map(body, mesh=mesh, in_specs=(pspec,), out_specs=pspec,
-                      check_rep=False)
-    return jax.jit(fn_sh)(sharded)
+    return fn_sh(sharded)

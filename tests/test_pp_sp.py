@@ -58,6 +58,21 @@ mesh8 = Mesh(np.array(jax.devices()[:8]), ("pipe",))
 got8 = np.asarray(pipeline_apply(stage_fn, stacked8, x, mesh8))
 want8 = np.asarray(sequential_reference(stage_fn, stacked8, x))
 np.testing.assert_allclose(got8, want8, atol=1e-5)
+
+# stage-count mismatch must raise, not silently apply every k-th stage
+# (ADVICE r3 #1): 8 stacked stages on the 4-device pipe mesh
+try:
+    pipeline_apply(stage_fn, stacked8, x, mesh)
+    raise SystemExit("8 stages on a 4-device pipe mesh must raise")
+except ValueError:
+    pass
+
+# repeat calls reuse one jitted runner — no per-call retrace (ADVICE r3 #2)
+from scannertools_tpu.parallel import pipeline_parallel as _ppmod
+n_keys = len(_ppmod._RUNNER_CACHE)
+pipeline_apply(stage_fn, stacked, x, mesh)
+pipeline_apply(stage_fn, stacked, x, mesh)
+assert len(_ppmod._RUNNER_CACHE) == n_keys  # same key, cache hit
 print("PP_OK")
 
 # ---------------- spatial parallelism: conv stack sharded over rows
