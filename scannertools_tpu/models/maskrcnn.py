@@ -15,9 +15,12 @@ in flax with static shapes per stream geometry, **checkpoint-compatibly**:
     never updated), caffe2-style stride-in-1x1; FPN P2..P6 (256 ch,
     LastLevelMaxPool);
   * RPN: shared 3×3 head over all levels, 3 aspect anchors/cell; proposals
-    are top-K score-selected then lax.scan NMS'd to a fixed count;
-  * RoIAlign: models/common.crop_and_resize on P2 (static-shape variant of
-    the canonical level heuristic);
+    follow the benchmark's FPN TEST regime — per-level top-1000 + NMS 0.7,
+    then the best 1000 across levels (all static-shape lax.scan NMS);
+  * RoIAlign: the canonical per-level heuristic
+    ``floor(4 + log2(sqrt(wh)/224))`` over P2..P5 — crops computed from
+    every level and one-hot-selected per RoI (static shapes,
+    ``roi_align_multilevel``);
   * heads: 2-fc box head (81-way cls + class box deltas), 4-conv + deconv
     mask head producing 28×28 per-class masks.
 
@@ -43,10 +46,20 @@ MAX_SIZE = 1333    # maskrcnn-benchmark cap on the max side
 PAD_MULT = 32      # canvas padded to the backbone's stride multiple
 _INIT_SIZE = 64    # dummy spatial size for param init (params are
                    # spatial-size-independent: convs + fixed-size RoI heads)
-PRE_NMS = 512
-POST_NMS = 64      # proposals kept per image
-MAX_DET = 32       # final detections per image
+# maskrcnn-benchmark TEST regime (e2e_mask_rcnn_X_101_32x8d_FPN_1x.yaml /
+# defaults.py): RPN.FPN_PRE_NMS_TOP_N_TEST per level, POST_NMS_TOP_N_TEST
+# proposals total, TEST.DETECTIONS_PER_IMG finals, SCORE_THRESH 0.05.
+PRE_NMS = 1000     # RPN top-k per FPN level before per-level NMS
+POST_NMS = 1000    # proposals kept per image (across levels)
+MAX_DET = 100      # final detections per image
+SCORE_THRESH = 0.05
 MASK_RES = 28
+# canonical FPN level heuristic (Lin et al. FPN eq. 1; maskrcnn-benchmark
+# poolers.LevelMapper): floor(4 + log2(sqrt(wh)/224 + 1e-6)), clamped to
+# P2..P5
+_CANONICAL_SCALE = 224.0
+_CANONICAL_LEVEL = 4.0
+_LVL_EPS = 1e-6
 PIXEL_MEAN = (102.9801, 115.9465, 122.7717)  # BGR255 (reference transform)
 
 ARCHS = {
@@ -195,6 +208,68 @@ def _anchors_for(level_hw: Tuple[int, int], stride: int) -> np.ndarray:
     return np.asarray(out, np.float32)
 
 
+def fpn_level_for(boxes: jnp.ndarray) -> jnp.ndarray:
+    """Canonical FPN RoI level (maskrcnn-benchmark poolers.LevelMapper):
+    ``floor(4 + log2(sqrt(wh)/224 + 1e-6))`` clamped to [2, 5], returned as
+    an index 0..3 into the P2..P5 stack."""
+    w = jnp.maximum(boxes[:, 2] - boxes[:, 0], 0.0)
+    h = jnp.maximum(boxes[:, 3] - boxes[:, 1], 0.0)
+    s = jnp.sqrt(w * h)
+    lvl = jnp.floor(_CANONICAL_LEVEL
+                    + jnp.log2(s / _CANONICAL_SCALE + _LVL_EPS))
+    return jnp.clip(lvl, 2.0, 5.0).astype(jnp.int32) - 2
+
+
+def roi_align_multilevel(fpn_maps, boxes: jnp.ndarray, out_hw):
+    """Per-level RoIAlign with the canonical heuristic, static shapes:
+    crops are computed from *every* level P2..P5 (strides 4/8/16/32) and
+    the assigned level's crop is selected per RoI via a one-hot mask —
+    XLA-friendly (no data-dependent bucketing), 4x the gather work of a
+    dynamic pooler but the gathers are a small cost next to the box head.
+
+    fpn_maps: list of 4+ per-image [H_l, W_l, C] maps (P2..P5 used);
+    boxes: [K, 4] canvas px. Returns [K, oh, ow, C]."""
+    lvl = fpn_level_for(boxes)
+    out = None
+    for li, stride in enumerate((4, 8, 16, 32)):
+        crop = crop_and_resize(fpn_maps[li], boxes / float(stride), out_hw)
+        sel = (lvl == li).astype(crop.dtype)[:, None, None, None]
+        out = sel * crop if out is None else out + sel * crop
+    return out
+
+
+def select_detections(refined, scores, labels, diag, max_det: int,
+                      iou_thresh: float = 0.5,
+                      score_thresh: float = SCORE_THRESH):
+    """Final-detection selection: per-class NMS (via the class-offset
+    trick — boxes shifted by label*diag can never cross classes) then
+    score-ordered truncation to ``max_det`` (TEST.DETECTIONS_PER_IMG).
+    Static shapes: returns (boxes [max_det,4], scores, labels) padded with
+    zeros; suppressed/subthreshold rows never appear."""
+    shifted = refined + labels[:, None].astype(jnp.float32) * diag
+    k = refined.shape[0]
+    order = jnp.argsort(-scores)
+    rb, rs, rl = refined[order], scores[order], labels[order]
+    from .common import iou_matrix
+
+    ov = iou_matrix(shifted[order], shifted[order])
+    valid = rs > score_thresh
+
+    def step(kept, i):
+        sup = jnp.any(kept & (ov[:, i] > iou_thresh) & (jnp.arange(k) < i))
+        ki = valid[i] & ~sup
+        return kept.at[i].set(ki), ki
+
+    _, keep = jax.lax.scan(step, jnp.zeros(k, bool), jnp.arange(k))
+    rank = jnp.cumsum(keep) - 1
+    dest = jnp.where(keep, rank, k)
+    kk = max(k + 1, max_det)  # tiny canvases can have k < max_det
+    fb = jnp.zeros((kk, 4)).at[dest].set(rb)[:max_det]
+    fs = jnp.zeros((kk,)).at[dest].set(rs)[:max_det]
+    fl = jnp.zeros((kk,), jnp.int32).at[dest].set(rl)[:max_det]
+    return fb, fs, fl
+
+
 def _apply_deltas(boxes, deltas):
     w = boxes[:, 2] - boxes[:, 0]
     h = boxes[:, 3] - boxes[:, 1]
@@ -211,9 +286,14 @@ def _apply_deltas(boxes, deltas):
 class MaskRCNNModel:
     """Parameter container + jittable inference driver."""
 
-    def __init__(self, rng: jax.Array, arch: str = "R-50-FPN"):
+    def __init__(self, rng: jax.Array, arch: str = "R-50-FPN",
+                 pre_nms: int = PRE_NMS, post_nms: int = POST_NMS,
+                 max_det: int = MAX_DET):
         blocks, groups, wpg = ARCHS[arch]
         self.arch = arch
+        self.pre_nms = int(pre_nms)
+        self.post_nms = int(post_nms)
+        self.max_det = int(max_det)
         dummy = jnp.zeros((1, _INIT_SIZE, _INIT_SIZE, 3))
         self.trunk = MaskRCNN(blocks, groups, wpg)
         tv = self.trunk.init(rng, dummy)
@@ -241,22 +321,32 @@ class MaskRCNNModel:
         diag = 2.0 * max(W, H)  # per-class NMS offset stride
 
         def per_image(b):
-            # --- proposals from all levels
-            all_scores, all_boxes = [], []
+            # --- proposals: per-FPN-level top-k + per-level NMS, then the
+            # best post_nms across levels (maskrcnn-benchmark
+            # rpn/inference.py FPN TEST regime: FPN_PRE_NMS_TOP_N per
+            # level -> NMS 0.7 -> concat -> top POST_NMS_TOP_N by score).
+            # Caps clamp to each level's anchor count on small canvases.
+            lvl_boxes, lvl_scores = [], []
             for (logits, deltas), anchors in zip(rpn_out, anchors_per_level):
                 s = jax.nn.sigmoid(logits[b].reshape(-1))
-                d = deltas[b].reshape(-1, 4)
-                all_scores.append(s)
-                all_boxes.append(_apply_deltas(anchors, d))
-            scores = jnp.concatenate(all_scores)
-            boxes = jnp.clip(jnp.concatenate(all_boxes), 0, clip_hi)
-            top, idx = jax.lax.top_k(scores, PRE_NMS)
-            props, pscores, _ = nms(boxes[idx], top, 0.7, POST_NMS)
+                k_l = min(self.pre_nms, s.shape[0])
+                top, idx = jax.lax.top_k(s, k_l)
+                d = deltas[b].reshape(-1, 4)[idx]
+                bx = jnp.clip(_apply_deltas(anchors[idx], d), 0, clip_hi)
+                keep_l = min(self.post_nms, k_l)
+                pb, ps, _ = nms(bx, top, 0.7, keep_l)
+                lvl_boxes.append(pb)
+                lvl_scores.append(ps)
+            scores = jnp.concatenate(lvl_scores)
+            boxes = jnp.concatenate(lvl_boxes)
+            n_prop = min(self.post_nms, scores.shape[0])
+            pscores, idx = jax.lax.top_k(scores, n_prop)
+            props = boxes[idx]
 
-            # --- RoIAlign on a fixed level pyramid (P2 stack; the level
-            # heuristic is folded into the stacked resize below)
-            feats = fpn[0][b]  # P2 [S/4, S/4, 256]
-            roi7 = crop_and_resize(feats, props / 4.0, (7, 7))
+            # --- RoIAlign with the canonical per-level heuristic over
+            # P2..P5 (roi_align_multilevel)
+            feats = [fpn[li][b] for li in range(4)]
+            roi7 = roi_align_multilevel(feats, props, (7, 7))
             cls, bdeltas = self.box_head.apply(variables["box"], roi7)
             probs = jax.nn.softmax(cls, axis=-1)
             best = jnp.max(probs[:, 1:], axis=1)
@@ -265,29 +355,11 @@ class MaskRCNNModel:
                 bdeltas.reshape(-1, NUM_CLASSES, 4),
                 label[:, None, None].repeat(4, -1), axis=1)[:, 0]
             refined = jnp.clip(_apply_deltas(props, sel), 0, clip_hi)
-            shifted = refined + label[:, None].astype(jnp.float32) * diag
-            k = refined.shape[0]
-            order = jnp.argsort(-best)
-            rb, rs, rl = refined[order], best[order], label[order]
-            from .common import iou_matrix
+            fb, fs, fl = select_detections(refined, best, label, diag,
+                                           self.max_det)
 
-            ov = iou_matrix(shifted[order], shifted[order])
-            valid = rs > 0.0
-
-            def step(kept, i):
-                sup = jnp.any(kept & (ov[:, i] > 0.5) & (jnp.arange(k) < i))
-                ki = valid[i] & ~sup
-                return kept.at[i].set(ki), ki
-
-            _, keep = jax.lax.scan(step, jnp.zeros(k, bool), jnp.arange(k))
-            rank = jnp.cumsum(keep) - 1
-            dest = jnp.where(keep, rank, k)
-            fb = jnp.zeros((k + 1, 4)).at[dest].set(rb)[:MAX_DET]
-            fs = jnp.zeros((k + 1,)).at[dest].set(rs)[:MAX_DET]
-            fl = jnp.zeros((k + 1,), jnp.int32).at[dest].set(rl)[:MAX_DET]
-
-            # --- masks for the finals
-            roi14 = crop_and_resize(feats, fb / 4.0, (14, 14))
+            # --- masks for the finals (same level heuristic)
+            roi14 = roi_align_multilevel(feats, fb, (14, 14))
             mlogits = self.mask_head.apply(variables["mask"], roi14)
             m = jax.nn.sigmoid(jnp.take_along_axis(
                 mlogits, fl[:, None, None, None].repeat(MASK_RES, 1)

@@ -72,12 +72,18 @@ def _build_detect_objects(inputs, params, device):
 
 # ------------------------------------------------------------- Mask R-CNN
 
-def _maskrcnn_model(arch: str):
+def _maskrcnn_model(arch: str, pre_nms: int = -1, post_nms: int = -1,
+                    max_det: int = -1):
     from ..models import maskrcnn as mr
 
-    key = ("maskrcnn_model", arch)
+    caps = (pre_nms if pre_nms > 0 else mr.PRE_NMS,
+            post_nms if post_nms > 0 else mr.POST_NMS,
+            max_det if max_det > 0 else mr.MAX_DET)
+    key = ("maskrcnn_model", arch, caps)
     if key not in _MODEL_CACHE:
-        _MODEL_CACHE[key] = mr.MaskRCNNModel(jax.random.PRNGKey(0), arch=arch)
+        _MODEL_CACHE[key] = mr.MaskRCNNModel(
+            jax.random.PRNGKey(0), arch=arch,
+            pre_nms=caps[0], post_nms=caps[1], max_det=caps[2])
     return _MODEL_CACHE[key]
 
 
@@ -96,7 +102,8 @@ def _maskrcnn_aux(ctx, params):
                       "array_i32"))
 def maskrcnn_forward(ctx, aux, frame, weights_path: Optional[str] = None,
                      arch: str = "R-50-FPN", min_size: int = -1,
-                     max_size: int = -1):
+                     max_size: int = -1, pre_nms: int = -1,
+                     post_nms: int = -1, max_det: int = -1):
     """Backbone+FPN+RPN+heads on device over the aspect-preserving
     min-side-800 letterbox (maskrcnn_detection.py:27-30; models/maskrcnn.py
     preprocess). Boxes come back mapped through the letterbox to NORMALIZED
@@ -108,7 +115,7 @@ def maskrcnn_forward(ctx, aux, frame, weights_path: Optional[str] = None,
 
     from ..models import maskrcnn as mr
 
-    model = _maskrcnn_model(arch)
+    model = _maskrcnn_model(arch, pre_nms, post_nms, max_det)
     x = as_hwc_f32(frame)
     t, h, w, _ = x.shape
     images, scale = mr.preprocess(
@@ -132,15 +139,13 @@ def maskrcnn_decode(ctx, boxes, scores, labels, masks, dims,
     ``dims``: per-row (h, w) from the forward, sizing the mask canvases."""
     import cv2
 
-    from ..models import maskrcnn as mr
-
     out = []
     for i in range(len(boxes)):
         h, w = int(dims[i][0]), int(dims[i][1])
         mh = max(h // mask_downscale, 1)
         mw = max(w // mask_downscale, 1)
         dets = []
-        for k in range(mr.MAX_DET):
+        for k in range(len(scores[i])):
             if scores[i][k] < confidence_threshold:
                 continue
             nb = np.asarray(boxes[i][k], np.float32)  # already normalized
@@ -167,7 +172,8 @@ def maskrcnn_decode(ctx, boxes, scores, labels, masks, dims,
 @register_composite("MaskRCNNDetectObjects")
 def _build_maskrcnn(inputs, params, device):
     fwd_params = {k: v for k, v in params.items()
-                  if k in ("weights_path", "arch", "min_size", "max_size")}
+                  if k in ("weights_path", "arch", "min_size", "max_size",
+                           "pre_nms", "post_nms", "max_det")}
     dec_params = {k: v for k, v in params.items()
                   if k in ("confidence_threshold", "mask_downscale")}
     fwd = OpNode("MaskRCNNForward", dict(inputs), fwd_params, device=device)
