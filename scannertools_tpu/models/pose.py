@@ -114,6 +114,99 @@ def init_params(rng: jax.Array, stages: int = 6) -> Dict[str, Any]:
     )
 
 
+class _BodyFront(nn.Module):
+    """OpenPoseBody's front (VGG + CPM feature + stage 0), exposing
+    ``feat`` for the pipelined refinement path. Layer names are identical
+    to OpenPoseBody's, so it applies against the SAME variables tree
+    (flax ignores unused params)."""
+
+    @nn.compact
+    def __call__(self, x):
+        for i, (f, pool) in enumerate([
+            (64, False), (64, True), (128, False), (128, True),
+            (256, False), (256, False), (256, False), (256, True),
+            (512, False), (512, False),
+        ]):
+            x = _ConvRelu(f, name=f"vgg{i}")(x)
+            if pool:
+                x = nn.max_pool(x, (2, 2), (2, 2))
+        x = _ConvRelu(256, name="cpm0")(x)
+        feat = _ConvRelu(128, name="cpm1")(x)
+
+        def stage0(inp, out_ch, tag):
+            h = inp
+            for j in range(3):
+                h = _ConvRelu(128, name=f"s0_{tag}_{j}")(h)
+            h = _ConvRelu(512, kernel=1, name=f"s0_{tag}_3")(h)
+            return nn.Conv(out_ch, (1, 1), name=f"s0_{tag}_4")(h)
+
+        paf = stage0(feat, N_PAF, "L1")
+        heat = stage0(feat, N_HEAT, "L2")
+        return paf, heat, feat
+
+
+class RefineStage(nn.Module):
+    """One uniform OpenPose refinement stage (stages 1..5 all share this
+    shape) over the packed hidden state ``[.., N_PAF + N_HEAT + 128]``
+    (paf ++ heat ++ feat): emits the new paf/heat with feat passed
+    through, keeping the hidden shape uniform — the pipeline-parallel
+    stage function. Param child names L1_j/L2_j match OpenPoseBody's
+    s{k}_L1_j/s{k}_L2_j subtrees (``refine_stage_params``)."""
+
+    @nn.compact
+    def __call__(self, h):
+        feat = h[..., N_PAF + N_HEAT:]
+
+        def branch(out_ch, tag):
+            a = h
+            for j in range(5):
+                a = _ConvRelu(128, kernel=7, name=f"{tag}_{j}")(a)
+            a = _ConvRelu(128, kernel=1, name=f"{tag}_5")(a)
+            return nn.Conv(out_ch, (1, 1), name=f"{tag}_6")(a)
+
+        paf = branch(N_PAF, "L1")
+        heat = branch(N_HEAT, "L2")
+        return jnp.concatenate([paf, heat, feat], axis=-1)
+
+
+def refine_stage_params(variables, stages: int = 6):
+    """Per-refinement-stage param subtrees of an OpenPoseBody variables
+    tree, renamed for RefineStage (s{k}_L1_j -> L1_j)."""
+    p = variables["params"]
+    subs = []
+    for s in range(1, stages):
+        sub = {}
+        for tag in ("L1", "L2"):
+            for j in range(7):
+                sub[f"{tag}_{j}"] = p[f"s{s}_{tag}_{j}"]
+        subs.append({"params": sub})
+    return subs
+
+
+def body_forward_pipelined(variables, x: jnp.ndarray, pipe_mesh,
+                           stages: int = 6):
+    """OpenPoseBody forward with the refinement chain placed one stage per
+    chip along ``pipe_mesh`` ('pipe' axis, size == stages-1): frames are
+    the GPipe microbatches streaming through the chain via ppermute
+    (parallel/pipeline_parallel.pipeline_apply_traced — trace-safe, so
+    this composes into the executor's fused device segments). The front
+    (VGG+CPM+stage 0) runs replicated: it is ~15% of the FLOPs; the five
+    7x7-conv refinement stages dominate and their weights divide by S.
+
+    Returns (heat, paf) like OpenPoseBody.apply — float-tolerance parity
+    (scan reassociation), pinned by tests/test_pp_executor.py."""
+    from ..parallel.pipeline_parallel import (pipeline_apply_traced,
+                                              stack_stage_params)
+
+    paf, heat, feat = _BodyFront().apply(variables, x)
+    h = jnp.concatenate([paf, heat, feat], axis=-1)
+    stacked = stack_stage_params(refine_stage_params(variables, stages))
+    out = pipeline_apply_traced(
+        lambda pv, hh: RefineStage().apply(pv, hh),
+        stacked, h[:, None], pipe_mesh)[:, 0]
+    return (out[..., N_PAF:N_PAF + N_HEAT], out[..., :N_PAF])
+
+
 class OpenPoseCrop(nn.Module):
     """The CMU single-person crop networks (face: 70 kp + bg; hand: 21 kp
     + bg) behind the wrapper's face/hand flags (openpose_kernel.cpp:
@@ -232,14 +325,19 @@ def limb_scores(paf: jnp.ndarray, peaks: jnp.ndarray, valid: jnp.ndarray):
     by = pb[:, None, :, 1]
     dx = bx - ax  # [L, K, K]
     dy = by - ay
-    norm = jnp.sqrt(dx * dx + dy * dy) + 1e-8
+    raw_norm = jnp.sqrt(dx * dx + dy * dy)
+    norm = raw_norm + 1e-8
     ux, uy = dx / norm, dy / norm
 
-    ts = (jnp.arange(N_SAMPLES, dtype=jnp.float32) + 0.5) / N_SAMPLES
+    # reference sampling (cpm2_output_kernel_cpu.cpp:568-600): points at
+    # t = lm/10 for lm = 0..9 (starting AT peak A), C++ round() =
+    # half-away-from-zero = floor(x+0.5) for the nonneg coords here,
+    # clamped to the top edge only (low side is nonneg by construction)
+    ts = jnp.arange(N_SAMPLES, dtype=jnp.float32) / N_SAMPLES
     sx = ax[..., None] + dx[..., None] * ts  # [L, K, K, S]
     sy = ay[..., None] + dy[..., None] * ts
-    xi = jnp.clip(jnp.round(sx), 0, w - 1).astype(jnp.int32)
-    yi = jnp.clip(jnp.round(sy), 0, h - 1).astype(jnp.int32)
+    xi = jnp.clip(jnp.floor(sx + 0.5), 0, w - 1).astype(jnp.int32)
+    yi = jnp.clip(jnp.floor(sy + 0.5), 0, h - 1).astype(jnp.int32)
 
     paf_flat = paf.reshape(-1, N_PAF)
     lin = yi * w + xi  # [L, K, K, S]
@@ -250,21 +348,29 @@ def limb_scores(paf: jnp.ndarray, peaks: jnp.ndarray, valid: jnp.ndarray):
         px, cy_idx[:, None, None, None, None], axis=-1)[..., 0]
     dots = fx * ux[..., None] + fy * uy[..., None]  # [L, K, K, S]
 
+    # feasible iff ALL 10 samples clear the inter threshold (count >
+    # connect_inter_min_above_threshold_ = 9, :604-607) and the peaks are
+    # not coincident (norm >= 1e-6, :573-576); the candidate score is then
+    # sum/count = the plain mean (no distance prior in the reference)
     n_good = jnp.sum(dots > THRE_PAF, axis=-1)
     mean_score = jnp.mean(dots, axis=-1)
-    dist_prior = jnp.minimum(0.5 * h / norm - 1.0, 0.0)
-    score = mean_score + dist_prior
     feasible = (
-        (n_good >= MIN_SAMPLES) & (score > 0)
+        (n_good > MIN_SAMPLES) & (raw_norm > 1e-6)
         & va[:, :, None] & vb[:, None, :]
     )
-    return jnp.where(feasible, score, -jnp.inf)
+    return jnp.where(feasible, mean_score, -jnp.inf)
 
 
-def infer_maps(variables, frames_pm5: jnp.ndarray, out_hw: Tuple[int, int]):
+def infer_maps(variables, frames_pm5: jnp.ndarray, out_hw: Tuple[int, int],
+               pipe_mesh=None):
     """frames in [-0.5, 0.5] [T,H,W,3] -> (heat [T,h,w,19], paf [T,h,w,38])
-    resized to out_hw (the CPM2 resized-heatmap contract)."""
-    heat, paf = OpenPoseBody().apply(variables, frames_pm5)
+    resized to out_hw (the CPM2 resized-heatmap contract). ``pipe_mesh``
+    (a 'pipe'-axis mesh of exactly stages-1 devices) runs the refinement
+    chain stage-per-chip (body_forward_pipelined)."""
+    if pipe_mesh is not None:
+        heat, paf = body_forward_pipelined(variables, frames_pm5, pipe_mesh)
+    else:
+        heat, paf = OpenPoseBody().apply(variables, frames_pm5)
     t = frames_pm5.shape[0]
     oh, ow = out_hw
     heat = jax.image.resize(heat, (t, oh, ow, N_HEAT), "linear")
@@ -273,7 +379,7 @@ def infer_maps(variables, frames_pm5: jnp.ndarray, out_hw: Tuple[int, int]):
 
 
 def device_stage(variables, frames_f32: jnp.ndarray,
-                 scales: Tuple[float, ...] = (1.0,)):
+                 scales: Tuple[float, ...] = (1.0,), pipe_mesh=None):
     """Full device side for a chunk: [T,H,W,3] raw [0,255] ->
     (peaks [T,18,K,3], valid [T,18,K], scores [T,L,K,K]).
     Preprocess matches CPM2Input: /256 - 0.5 (cpm2_input_kernel_gpu.cpp).
@@ -292,7 +398,7 @@ def device_stage(variables, frames_f32: jnp.ndarray,
             ws = max(8, int(round(w * s)) // 8 * 8)
             xi = jax.image.resize(x, (t, hs, ws, 3), "linear",
                                   antialias=False)
-        heat, paf = infer_maps(variables, xi, (h, w))
+        heat, paf = infer_maps(variables, xi, (h, w), pipe_mesh=pipe_mesh)
         heat_acc = heat if heat_acc is None else heat_acc + heat
         paf_acc = paf if paf_acc is None else paf_acc + paf
     heat = heat_acc / len(scales)
@@ -309,61 +415,97 @@ def device_stage(variables, frames_f32: jnp.ndarray,
 
 def group_people(peaks: np.ndarray, valid: np.ndarray,
                  scores: np.ndarray) -> List[Tuple[float, np.ndarray]]:
-    """Greedy limb assignment + subset merging (host; tiny data).
+    """Greedy limb assignment + subset clustering (host; tiny data) — an
+    exact transcription of connect_limbs_coco
+    (cpm2_output_kernel_cpu.cpp:463-760), pinned to the independent numpy
+    oracle in tests/test_pose.py:
 
-    peaks: [18, K, 3]; valid: [18, K]; scores: [L, K, K].
-    Returns [(person_score, kp [18,3] pixel coords)] with the reference's
-    pruning: >=3 joints and score/cnt > 0.4 (cpm2_output pruning).
+    per limb k (in LIMB_SEQ order):
+      * both endpoints peakless -> skip (:502-503); one side peakless ->
+        each unassigned peak of the other side seeds a 1-part subset
+        (:504-562);
+      * otherwise greedy-accept candidate pairs in descending line-integral
+        score order, each peak used once, at most min(nA, nB) connections
+        (:625-646);
+      * limb 0 connections each seed a 2-part subset (:650-666); for later
+        limbs every subset whose A-part holds this connection's A-peak gets
+        the B-peak assigned (overwriting, count incremented — the
+        reference's bookkeeping, :692-720); connections matching no subset
+        seed a new one (:707-719).
+    Prune: cnt >= 3 and score/cnt > 0.4 (:730-732), insertion order, at
+    most MAX_PEOPLE (:749).
+
+    peaks: [18, K, 3]; valid: [18, K]; scores: [L, K, K] from
+    ``limb_scores`` (-inf = infeasible). Returns
+    [(score/cnt, kp [18,3] heatmap coords)].
     """
     K = peaks.shape[1]
-    # subsets: dict of part -> peak index, plus score/count bookkeeping
+    # subsets: part -> peak index, plus the reference's score/cnt counters
     subsets: List[Dict] = []
 
     for l, (pa, pb) in enumerate(LIMB_SEQ):
+        va_idx = [i for i in range(K) if valid[pa, i]]
+        vb_idx = [j for j in range(K) if valid[pb, j]]
+        if not va_idx and not vb_idx:
+            continue
+        if not va_idx:
+            for j in vb_idx:
+                if not any(ss["parts"].get(pb) == j for ss in subsets):
+                    subsets.append({"parts": {pb: j}, "cnt": 1,
+                                    "score": float(peaks[pb, j, 2])})
+            continue
+        if not vb_idx:
+            for i in va_idx:
+                if not any(ss["parts"].get(pa) == i for ss in subsets):
+                    subsets.append({"parts": {pa: i}, "cnt": 1,
+                                    "score": float(peaks[pa, i, 2])})
+            continue
+
         s = scores[l]
-        cands = [(s[i, j], i, j)
-                 for i in range(K) for j in range(K)
+        cands = [(float(s[i, j]), i, j) for i in va_idx for j in vb_idx
                  if np.isfinite(s[i, j])]
-        cands.sort(reverse=True)
-        used_a, used_b = set(), set()
+        cands.sort(key=lambda c: -c[0])
+        num = min(len(va_idx), len(vb_idx))
+        occ_a, occ_b = set(), set()
+        conns = []
         for sc, i, j in cands:
-            if i in used_a or j in used_b:
+            if len(conns) == num:
+                break
+            if i in occ_a or j in occ_b:
                 continue
-            used_a.add(i)
-            used_b.add(j)
-            # find subsets containing either endpoint
-            found = [ss for ss in subsets
-                     if ss["parts"].get(pa) == i or ss["parts"].get(pb) == j]
-            if not found:
-                ss = {"parts": {pa: i, pb: j},
-                      "score": sc + peaks[pa, i, 2] + peaks[pb, j, 2]}
-                subsets.append(ss)
-            elif len(found) == 1:
-                ss = found[0]
-                added = 0.0
-                if pa not in ss["parts"]:
-                    ss["parts"][pa] = i
-                    added += peaks[pa, i, 2]
-                if pb not in ss["parts"]:
-                    ss["parts"][pb] = j
-                    added += peaks[pb, j, 2]
-                ss["score"] += sc + added
-            else:
-                # merge disjoint subsets connected by this limb
-                s1, s2 = found[0], found[1]
-                if not (set(s1["parts"]) & set(s2["parts"])):
-                    s1["parts"].update(s2["parts"])
-                    s1["score"] += s2["score"] + sc
-                    subsets.remove(s2)
+            conns.append((i, j, sc))
+            occ_a.add(i)
+            occ_b.add(j)
+
+        if l == 0:
+            for i, j, sc in conns:
+                subsets.append({
+                    "parts": {pa: i, pb: j}, "cnt": 2,
+                    "score": float(peaks[pa, i, 2] + peaks[pb, j, 2]) + sc})
+        else:
+            for i, j, sc in conns:
+                found = 0
+                for ss in subsets:
+                    if ss["parts"].get(pa) == i:
+                        ss["parts"][pb] = j
+                        ss["cnt"] += 1
+                        ss["score"] += float(peaks[pb, j, 2]) + sc
+                        found += 1
+                if found == 0:
+                    subsets.append({
+                        "parts": {pa: i, pb: j}, "cnt": 2,
+                        "score": float(peaks[pa, i, 2]
+                                       + peaks[pb, j, 2]) + sc})
 
     people = []
     for ss in subsets:
-        cnt = len(ss["parts"])
-        if cnt < 3 or ss["score"] / cnt < 0.4:  # reference pruning
+        cnt = ss["cnt"]
+        if cnt < 3 or ss["score"] / cnt <= 0.4:  # reference pruning
             continue
         kp = np.zeros((N_PARTS, 3), np.float32)
         for part, pk in ss["parts"].items():
             kp[part] = peaks[part, pk]
         people.append((float(ss["score"] / cnt), kp))
-    people.sort(key=lambda p: -p[0])
-    return people[:MAX_PEOPLE]
+        if len(people) == MAX_PEOPLE:
+            break
+    return people

@@ -146,3 +146,66 @@ def test_openpose_decode_fills_face_hand_slots(monkeypatch):
     # serialization keeps the [score, 18|70|21|21 x3] layout
     rt = Pose.deserialize(p.serialize())
     np.testing.assert_allclose(rt.face_keypoints(), face)
+
+
+# ------------------------------------------------- multi-scale merge oracle
+# CMU wrapper contract (openpose_kernel.cpp:94-141 -> op::Wrapper): every
+# scale's maps are brought to the MAX scale's resolution and averaged with
+# equal weights; peaks are then extracted at that max resolution.
+
+def _fake_body_apply(peak_frac=(0.3, 0.4)):
+    """A deterministic stride-8 'net': channel-0 heat is a gaussian bump at
+    a fixed FRACTIONAL image position — scale-invariant by construction, so
+    the merged peak must land at that fraction of the FULL-resolution map
+    (catching merge-at-wrong-resolution and unnormalized-sum bugs)."""
+    fx, fy = peak_frac
+
+    def apply(self, variables, x):
+        t, h, w, _ = x.shape
+        h8, w8 = h // 8, w // 8
+        yy = (jnp.arange(h8, dtype=jnp.float32) + 0.5) / h8
+        xx = (jnp.arange(w8, dtype=jnp.float32) + 0.5) / w8
+        g = jnp.exp(-(((yy[:, None] - fy) * 8) ** 2
+                      + ((xx[None, :] - fx) * 8) ** 2))
+        heat = jnp.zeros((t, h8, w8, pose_lib.N_HEAT)).at[..., 0].set(g)
+        paf = jnp.zeros((t, h8, w8, pose_lib.N_PAF))
+        return heat, paf
+
+    return apply
+
+
+def test_multi_scale_merge_at_max_resolution(monkeypatch):
+    """The merged peak must sit at the bump's fractional position in
+    FULL-resolution coordinates: merging at a smaller scale's resolution
+    would halve the reported coordinates; an unnormalized sum would break
+    the score."""
+    monkeypatch.setattr(pose_lib.OpenPoseBody, "apply",
+                        _fake_body_apply((0.3, 0.4)))
+    frames = np.full((1, 96, 128, 3), 128.0, np.float32)
+    peaks, valid, _ = jax.jit(
+        lambda f: pose_lib.device_stage(None, f, scales=(1.0, 0.5)))(
+        jnp.asarray(frames))
+    peaks, valid = np.asarray(peaks), np.asarray(valid)
+    assert valid[0, 0, 0]
+    x, y, score = peaks[0, 0, 0]
+    assert abs(x - 0.3 * 128) <= 2.0, x
+    assert abs(y - 0.4 * 96) <= 2.0, y
+    # both scales contribute the same unit bump -> the equal-weight
+    # average stays near 1.0 (bilinear upsampling of the coarse stride-8
+    # grid attenuates the peak ~10%); an unnormalized SUM would give ~1.8
+    assert 0.75 <= score <= 1.05, score
+
+
+def test_multi_scale_duplicate_scale_equals_single(monkeypatch):
+    """scales=(1.0, 1.0) must be IDENTICAL to scales=(1.0,): equal-weight
+    averaging, not accumulation."""
+    monkeypatch.setattr(pose_lib.OpenPoseBody, "apply",
+                        _fake_body_apply((0.6, 0.5)))
+    frames = np.full((1, 64, 64, 3), 100.0, np.float32)
+    f = jnp.asarray(frames)
+    p1, v1, s1 = jax.jit(
+        lambda a: pose_lib.device_stage(None, a, scales=(1.0,)))(f)
+    p2, v2, s2 = jax.jit(
+        lambda a: pose_lib.device_stage(None, a, scales=(1.0, 1.0)))(f)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
