@@ -124,3 +124,48 @@ def test_sink_worker_error_surfaces_before_commit(sc, ingested, tmp_path):
         sc.run(sc.io.Output(hist, [short]),
                st.PerfParams.manual(work_packet_size=8),
                cache_mode=st.CacheMode.Overwrite)
+
+
+def test_parallel_sampling_branches(sc, ingested):
+    """A Gather branch and a full-rate branch on ONE Input feeding
+    different sinks in one graph (the reference composes stream samplings
+    freely, tests/test_all.py:41,167,183; VERDICT r3 #8). Each branch gets
+    its own row domain via per-branch sub-runs."""
+    import numpy as np
+
+    import scannertools_tpu as st
+
+    frame = sc.io.Input([ingested])
+    pick = [3, 9, 17]
+    g = sc.streams.Gather(frame, [pick])
+    h_all = sc.ops.Histogram(frame=frame)
+    h_some = sc.ops.Histogram(frame=g)
+    o_all = st.NamedStream(sc, "branch_all")
+    o_some = st.NamedStream(sc, "branch_some")
+    sc.run(sc.io.Output([h_all, h_some], [(o_all, o_some)]),
+           st.PerfParams.manual(work_packet_size=8),
+           cache_mode=st.CacheMode.Overwrite)
+    alla = list(o_all.load())
+    some = list(o_some.load())
+    assert len(alla) == len(ingested)
+    assert len(some) == len(pick)
+    for j, i in enumerate(pick):
+        np.testing.assert_array_equal(some[j], alla[i])
+
+
+def test_zipping_two_samplings_rejected(sc, ingested):
+    """An op whose inputs mix two different samplings of one Input has no
+    well-defined zipped row domain — must raise, not silently misalign."""
+    import pytest as _pytest
+
+    import scannertools_tpu as st
+
+    frame = sc.io.Input([ingested])
+    g1 = sc.streams.Gather(frame, [[0, 1, 2]])
+    g2 = sc.streams.Gather(frame, [[3, 4, 5]])
+    d = sc.ops.FrameDifference(frame=g1, other=g2)
+    out = st.NamedStream(sc, "zip_reject")
+    with _pytest.raises(ValueError, match="two different samplings"):
+        sc.run(sc.io.Output(d, [out]),
+               st.PerfParams.manual(work_packet_size=4),
+               cache_mode=st.CacheMode.Overwrite)
