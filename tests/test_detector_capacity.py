@@ -6,6 +6,7 @@ exactly 100 rows; maskrcnn-benchmark TEST.DETECTIONS_PER_IMG=100).
 """
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -24,6 +25,7 @@ def _grid_boxes(n, span=1000.0, size=4.0):
     return np.asarray(out, np.float32)
 
 
+@pytest.mark.slow
 def test_ssd_truncates_score_ordered_past_100():
     """150 separated objects -> exactly NUM_OUT rows = the global top-100
     scores, descending (models/ssd.py _postprocess_explicit)."""
@@ -48,6 +50,7 @@ def test_ssd_truncates_score_ordered_past_100():
     np.testing.assert_array_equal(ol, labels[order])
 
 
+@pytest.mark.slow
 def test_maskrcnn_truncates_score_ordered_past_max_det():
     """2x max_det separated detections -> exactly the top max_det by
     score (models/maskrcnn.py select_detections)."""

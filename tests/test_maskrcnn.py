@@ -22,6 +22,7 @@ def test_letterbox_geometry_matches_reference_math():
     assert th / tw == pytest.approx(1080 / 1920, rel=2e-3)
 
 
+@pytest.mark.slow
 def test_preprocess_letterbox_content_and_padding():
     """Content region = aspect-preserving resize (BGR, mean-subtracted);
     padded region identically zero (to_image_list zero pad)."""
@@ -45,6 +46,7 @@ def test_preprocess_letterbox_content_and_padding():
     assert (got[:, th:] == 0).all() and (got[:, :, tw:] == 0).all()
 
 
+@pytest.mark.slow
 def test_maskrcnn_forward_shapes():
     import jax
     import jax.numpy as jnp
@@ -89,6 +91,7 @@ def test_maskrcnn_box_roundtrip_through_letterbox():
     np.testing.assert_allclose(norm, [0, 0, 1, 1], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_maskrcnn_op_contract(sc, ingested):
     import scannertools_tpu as st
 
@@ -129,6 +132,7 @@ def test_fpn_level_assignment_matches_canonical_heuristic():
     assert len(set(want.tolist())) == 4  # the fixture spans all 4 levels
 
 
+@pytest.mark.slow
 def test_roi_align_multilevel_selects_assigned_level():
     """Each RoI's pooled features must come from exactly its assigned
     level: give each FPN level a constant-valued map and check the pooled
@@ -151,6 +155,7 @@ def test_roi_align_multilevel_selects_assigned_level():
         np.testing.assert_allclose(pooled[i], lvl[i] + 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_rpn_proposal_recall_vs_unbounded_pool():
     """Static-cap recall guard (the test_faster_rcnn.py pattern): the
     per-level PRE_NMS=1000 pool must retain >=99% of the proposals a 4x

@@ -32,6 +32,7 @@ def test_flow_recovers_translation():
     assert np.median(err) < 0.15, np.median(err)
 
 
+@pytest.mark.slow
 def test_flow_close_to_opencv():
     import cv2
     import jax
@@ -51,6 +52,7 @@ def test_flow_close_to_opencv():
     assert np.median(d) < 0.5, np.median(d)
 
 
+@pytest.mark.slow
 def test_flow_pipeline(sc, texture_video):
     """Output spec: H x W x 2 f32, one row per sampled frame
     (tests/test_all.py:171-177); values recover the known 1 px/frame pan."""
@@ -77,6 +79,7 @@ def test_flow_pipeline(sc, texture_video):
     assert np.abs(np.median(inner[..., 1])) < 0.3
 
 
+@pytest.mark.slow
 def test_shift_warp_matches_gather_and_recovers_large_motion():
     """The default shift-warp (warp_px=16) tracks the exact gather warp's
     results on the goldens, and recovers a 10-px translation (motion well

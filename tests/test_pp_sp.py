@@ -147,6 +147,7 @@ print("EP_OK")
 """
 
 
+@pytest.mark.slow
 def test_pipeline_and_spatial_parallel_8dev():
     env = dict(os.environ)
     env["PYTHONPATH"] = os.pathsep.join(
