@@ -87,6 +87,12 @@ class PerfParams:
     #   "rgb"  — always decode to RGB24 on the host (bit-exact with cv2).
     #   "i420" — require the planar path (error if the source can't).
     ingest: str = "auto"
+    # Pipeline parallelism over the model's stage chain (VERDICT r3 #3):
+    # >1 reserves that many mesh devices as a stage pipeline; ops whose
+    # models declare a uniform stage chain (OpenPose's 5 refinement
+    # stages) run one stage per chip via a GPipe ppermute scan
+    # (parallel/pipeline_parallel.pipeline_apply_traced). 0/1 = off.
+    pipeline_stages: int = 0
 
     @classmethod
     def estimate(cls, **overrides) -> "PerfParams":
@@ -122,6 +128,7 @@ class PerfParams:
             work_packet_size=w, io_packet_size=max(io, w),
             pipeline_instances_per_node=self.pipeline_instances_per_node,
             prefetch_depth=depth, ingest=self.ingest,
+            pipeline_stages=self.pipeline_stages,
         )
 
     @classmethod
@@ -132,6 +139,7 @@ class PerfParams:
         pipeline_instances_per_node: int = 1,
         prefetch_depth: int = 2,
         ingest: str = "auto",
+        pipeline_stages: int = 0,
         **_ignored,
     ) -> "PerfParams":
         io_packet_size = max(io_packet_size, work_packet_size)
@@ -141,6 +149,7 @@ class PerfParams:
             pipeline_instances_per_node=pipeline_instances_per_node,
             prefetch_depth=prefetch_depth,
             ingest=ingest,
+            pipeline_stages=pipeline_stages,
         )
 
 

@@ -266,7 +266,11 @@ def openpose_forward(ctx, aux, frame, weights_path: Optional[str] = None,
     scales = tuple(
         max(0.1, 1.0 - i * pose_scale_gap) for i in range(pose_num_scales)
     )
-    peaks, valid, scores = pose_lib.device_stage(aux, x, scales)
+    # PerfParams(pipeline_stages>=5) runs the 5 uniform refinement stages
+    # one per chip (VERDICT r3 #3; models/pose.body_forward_pipelined)
+    pipe_mesh = ctx.pipe_mesh(5) if hasattr(ctx, "pipe_mesh") else None
+    peaks, valid, scores = pose_lib.device_stage(aux, x, scales,
+                                                 pipe_mesh=pipe_mesh)
     dims = jnp.broadcast_to(jnp.asarray([h, w], jnp.int32), (t, 2))
     return peaks, valid, scores, dims
 

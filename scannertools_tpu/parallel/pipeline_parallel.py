@@ -130,6 +130,64 @@ def pipeline_apply(stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
     return fn(placed, jnp.asarray(x))
 
 
+def pipeline_apply_traced(stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
+                          stacked_params: Any,
+                          x: jnp.ndarray,
+                          mesh: Mesh,
+                          axis: str = "pipe") -> jnp.ndarray:
+    """``pipeline_apply`` for use INSIDE an enclosing jit trace (the
+    executor's fused device segments): no jit/device_put of its own —
+    params are steered onto the pipe axis with a sharding constraint and
+    the shard_map composes into the outer program (GSPMD partitions it).
+
+    Same contract as ``pipeline_apply``; see that docstring.
+    """
+    S = int(mesh.shape[axis])
+    for path, leaf in jax.tree_util.tree_flatten_with_path(stacked_params)[0]:
+        if leaf.shape[0] != S:
+            raise ValueError(
+                f"stacked_params leaf {jax.tree_util.keystr(path)} has "
+                f"leading (stage) axis {leaf.shape[0]} != mesh '{axis}' "
+                f"size {S}")
+
+    def body(params, xs):
+        M = xs.shape[0]
+        my = jax.tree_util.tree_map(lambda p: p[0], params)
+        idx = jax.lax.axis_index(axis)
+        fwd = [(i, i + 1) for i in range(S - 1)]
+
+        def tick(carry, t):
+            buf, outs = carry
+            inp = jax.lax.dynamic_index_in_dim(
+                xs, jnp.clip(t, 0, M - 1), axis=0, keepdims=False)
+            cur = jnp.where(idx == 0, inp, buf)
+            h = stage_fn(my, cur)
+            m = t - (S - 1)
+            rec = jnp.where((idx == S - 1) & (m >= 0), h, jnp.zeros_like(h))
+            outs = jax.lax.dynamic_update_index_in_dim(
+                outs, rec + jax.lax.dynamic_index_in_dim(
+                    outs, jnp.clip(m, 0, M - 1), axis=0, keepdims=False),
+                jnp.clip(m, 0, M - 1), axis=0)
+            buf = jax.lax.ppermute(h, axis, fwd) if S > 1 else buf
+            return (buf, outs), None
+
+        h0 = jax.eval_shape(stage_fn, my, jax.eval_shape(lambda a: a[0], xs))
+        outs0 = jnp.zeros((M,) + tuple(h0.shape), h0.dtype)
+        (_, outs), _ = jax.lax.scan(
+            tick, (jnp.zeros(h0.shape, h0.dtype), outs0),
+            jnp.arange(M + S - 1))
+        return jax.lax.psum(outs, axis)
+
+    pspec = jax.tree_util.tree_map(lambda _: P(axis), stacked_params)
+    placed = jax.tree_util.tree_map(
+        lambda leaf, sp: jax.lax.with_sharding_constraint(
+            leaf, NamedSharding(mesh, sp)),
+        stacked_params, pspec)
+    fn = shard_map(body, mesh=mesh, in_specs=(pspec, P()), out_specs=P(),
+                   check_rep=False)
+    return fn(placed, x)
+
+
 def sequential_reference(stage_fn, stacked_params, x):
     """Unsharded golden: fold every stage over every microbatch."""
     S = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]

@@ -21,13 +21,29 @@ class OpContext:
         stream_meta: Optional[dict] = None,
         resources_dir: str = "/tmp/scannertools_tpu_resources",
         profiler=None,
+        pipe_devices=None,
     ):
         self.job = job
         self.stream_meta = stream_meta or {}
         self.resources_dir = resources_dir
         self.profiler = profiler
         self.protobufs = protobufs
+        #: devices reserved for stage-pipeline parallelism
+        #: (PerfParams.pipeline_stages; ops build a 'pipe' mesh over a
+        #: prefix sized to their own stage count — models/pose.py
+        #: body_forward_pipelined)
+        self.pipe_devices = list(pipe_devices) if pipe_devices else None
         self._kernel_cache: Dict[Tuple, Any] = {}
+
+    def pipe_mesh(self, n_stages: int):
+        """A 'pipe' mesh of exactly ``n_stages`` reserved devices, or None
+        when pipeline parallelism is off / the reservation is smaller."""
+        if not self.pipe_devices or len(self.pipe_devices) < n_stages:
+            return None
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        return Mesh(_np.array(self.pipe_devices[:n_stages]), ("pipe",))
 
     @property
     def fps(self) -> float:
