@@ -93,6 +93,13 @@ class PerfParams:
     # stages) run one stage per chip via a GPipe ppermute scan
     # (parallel/pipeline_parallel.pipeline_apply_traced). 0/1 = off.
     pipeline_stages: int = 0
+    # Spatial parallelism over each frame's row axis (VERDICT r3 #3):
+    # >1 reserves that many mesh devices as an 'sp' axis; row-shardable
+    # device ops (stencil stacks like Blur) split H over the chips and
+    # exchange conv halos over ICI (parallel/spatial.spatial_apply_traced)
+    # — for frames too large for one chip's activation working set.
+    # Ops fall back to the unsharded form when H doesn't divide. 0/1 = off.
+    spatial_shards: int = 0
 
     @classmethod
     def estimate(cls, **overrides) -> "PerfParams":
@@ -129,6 +136,7 @@ class PerfParams:
             pipeline_instances_per_node=self.pipeline_instances_per_node,
             prefetch_depth=depth, ingest=self.ingest,
             pipeline_stages=self.pipeline_stages,
+            spatial_shards=self.spatial_shards,
         )
 
     @classmethod
@@ -140,6 +148,7 @@ class PerfParams:
         prefetch_depth: int = 2,
         ingest: str = "auto",
         pipeline_stages: int = 0,
+        spatial_shards: int = 0,
         **_ignored,
     ) -> "PerfParams":
         io_packet_size = max(io_packet_size, work_packet_size)
@@ -150,6 +159,7 @@ class PerfParams:
             prefetch_depth=prefetch_depth,
             ingest=ingest,
             pipeline_stages=pipeline_stages,
+            spatial_shards=spatial_shards,
         )
 
 

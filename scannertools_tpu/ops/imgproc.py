@@ -78,11 +78,38 @@ def resize(ctx, frame, width: int = 0, height: int = 0,
 
 # ----------------------------------------------------------------------- Blur
 
+def _box1d(a, axis, lo, hi):
+    """Windowed sums via padded cumulative sums: output[i] = sum over
+    a[i .. i+lo+hi] (length n-(lo+hi)). Sums of u8 pixels stay exact in
+    f32 while any cumsum value < 2^24 (h, k*w < ~65k)."""
+    n = a.shape[axis]
+    cs = jnp.cumsum(a, axis=axis)
+    zero = jnp.zeros_like(jax.lax.slice_in_dim(cs, 0, 1, axis=axis))
+    cs = jnp.concatenate([zero, cs], axis=axis)  # cs[i] = sum a[:i]
+    upper = jax.lax.slice_in_dim(cs, lo + hi + 1, n + 1, axis=axis)
+    lower = jax.lax.slice_in_dim(cs, 0, n - lo - hi, axis=axis)
+    return upper - lower
+
+
+def _box1d_same(a, axis, lo, hi):
+    """SAME-padded window sums: output[i] = sum a[i-lo .. i+hi], zeros
+    outside — row-count preserving (the spatially-sharded formulation)."""
+    pads = [(0, 0)] * a.ndim
+    pads[axis] = (lo, hi)
+    return _box1d(jnp.pad(a, pads), axis, lo, hi)
+
+
 @register_op("Blur", kind="device", outputs=("frame",))
 def blur(ctx, frame, kernel_size: int = 3, sigma: float = 0.0):
     """Box blur, integer mean over a kernel_size² window, interior pixels
     only (blur_kernel_cpu.cpp:62-79: value / k² in integer arithmetic).
     Implemented as a separable prefix-sum filter: O(1)/pixel on the VPU.
+
+    Under ``PerfParams(spatial_shards=N)`` the frame's row axis is sharded
+    over the reserved 'sp' mesh devices with a one-hop ICI halo exchange
+    (parallel/spatial.spatial_apply_traced) — for frames too large for one
+    chip — and the result is bit-identical to the unsharded path (all
+    window sums are exact u8 integer sums in f32).
     """
     x = _as_u8_hwc(frame)  # f32
     k = int(kernel_size)
@@ -90,17 +117,30 @@ def blur(ctx, frame, kernel_size: int = 3, sigma: float = 0.0):
     right = k - k // 2 - 1
     t, h, w, c = x.shape
 
-    # separable box sums via padded cumulative sums along H then W
-    def box1d(a, axis, lo, hi):
-        n = a.shape[axis]
-        cs = jnp.cumsum(a, axis=axis)
-        zero = jnp.zeros_like(jax.lax.slice_in_dim(cs, 0, 1, axis=axis))
-        cs = jnp.concatenate([zero, cs], axis=axis)  # cs[i] = sum a[:i]
-        upper = jax.lax.slice_in_dim(cs, lo + hi + 1, n + 1, axis=axis)
-        lower = jax.lax.slice_in_dim(cs, 0, n - lo - hi, axis=axis)
-        return upper - lower  # length n - (lo+hi)
+    halo = max(left, right)
+    mesh = ctx.sp_mesh(h, halo) if hasattr(ctx, "sp_mesh") else None
+    if mesh is not None and halo > 0:
+        from ..parallel.spatial import spatial_apply_traced
 
-    sums = box1d(box1d(x, 1, left, right), 2, left, right)
+        col = jnp.arange(w)
+        in_col = (col >= left) & (col < w - right)
+
+        def body(padded, gidx):
+            # padded [t, local+2*halo, w, c]; gidx = global row index of
+            # each padded row (<0 / >=h outside the image)
+            inside = ((gidx >= 0) & (gidx < h)).astype(padded.dtype)
+            xm = padded * inside[None, :, None, None]
+            sums = _box1d_same(_box1d_same(xm, 1, left, right),
+                               2, left, right)
+            mean = jnp.floor(sums / (k * k))
+            in_row = (gidx >= left) & (gidx < h - right)
+            m = in_row[None, :, None, None] & in_col[None, None, :, None]
+            # interior pixels get the mean; borders keep original pixels
+            return jnp.where(m, mean, xm).astype(jnp.uint8)
+
+        return spatial_apply_traced(body, x, halo, mesh)
+
+    sums = _box1d(_box1d(x, 1, left, right), 2, left, right)
     mean = jnp.floor(sums / (k * k))  # integer division like the reference
     out = x.astype(jnp.uint8)
     interior = mean.astype(jnp.uint8)

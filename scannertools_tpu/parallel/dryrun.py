@@ -327,3 +327,60 @@ def run_pp_executor_dryrun(n_devices: int) -> None:
         want = run(0, "ref")
         assert got.shape == want.shape
         assert np.allclose(got, want, atol=1e-3), "pp executor dryrun mismatch"
+
+
+def run_sp_executor_dryrun(n_devices: int) -> None:
+    """PerfParams(spatial_shards=n) through the REAL executor (VERDICT r3
+    #3): Blur's frame rows sharded one-slab-per-device with an ICI halo
+    exchange inside a normal sc.run, bit-exact vs the unsharded run."""
+    import tempfile
+
+    import scannertools_tpu as st
+    from ..io.video import VideoMetadata
+
+    n_frames, h, w = 4, 8 * n_devices, 32
+
+    class FakeVideo:
+        is_video = True
+
+        def __init__(self):
+            rng = np.random.default_rng(13)
+            self.frames = rng.integers(0, 256, (n_frames, h, w, 3), np.uint8)
+
+        def __len__(self):
+            return n_frames
+
+        def metadata(self):
+            return VideoMetadata("fake", n_frames, 24.0, w, h)
+
+        def decoder(self):
+            return self
+
+        def read_frames(self, idxs, out=None):
+            data = self.frames[list(idxs)]
+            if out is None:
+                return data
+            out[...] = data
+            return out
+
+        def close(self):
+            pass
+
+    video = FakeVideo()
+    with tempfile.TemporaryDirectory() as d:
+        sc = st.Client(db_path=d + "/db")
+
+        def run(shards, tag):
+            frame = sc.io.Input([video])
+            blurred = sc.ops.Blur(frame=frame, kernel_size=9)
+            out = st.NamedStream(sc, f"sp_dry_{tag}")
+            sc.run(sc.io.Output(blurred, [out]),
+                   st.PerfParams.manual(work_packet_size=4,
+                                        spatial_shards=shards),
+                   cache_mode=st.CacheMode.Overwrite)
+            return np.stack(list(out.load()))
+
+        got = run(n_devices, "sp")
+        want = run(0, "ref")
+        assert got.shape == want.shape
+        assert (got == want).all(), "sp executor dryrun mismatch"

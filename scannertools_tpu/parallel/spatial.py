@@ -64,6 +64,51 @@ def halo_exchange_rows(x: jnp.ndarray, halo: int, axis_name: str,
     return jnp.concatenate([from_above, x, from_below], axis=row_axis)
 
 
+def spatial_apply_traced(fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+                         x: jnp.ndarray,
+                         halo: int,
+                         mesh: Mesh,
+                         axis: str = "sp",
+                         row_axis: int = 1) -> jnp.ndarray:
+    """``spatial_apply`` for use INSIDE an enclosing jit trace (the
+    executor's fused device segments): no jit/device_put of its own — the
+    input is steered onto the row sharding with a sharding constraint and
+    the shard_map composes into the outer program (GSPMD partitions it).
+
+    ``fn(padded, row_gidx)`` receives the halo-padded local shard and the
+    GLOBAL row index of every padded row (int32, <0 / >=rows outside the
+    image — ``fn`` derives masks or border logic from it). It must return
+    the same padded row count; the wrapper crops the halos. The output is
+    still row-sharded; inside a fused segment it flows onward and XLA
+    inserts any resharding the consumer needs.
+    """
+    n = int(mesh.shape[axis])
+    rows = int(x.shape[row_axis])
+    if rows % n != 0 or rows // n < halo:
+        raise ValueError(
+            f"rows={rows} must divide mesh axis {n} with local shard "
+            f">= halo={halo}")
+    spec = [None] * x.ndim
+    spec[row_axis] = axis
+    pspec = P(*spec)
+
+    def body(xs):
+        local = xs.shape[row_axis]
+        padded = halo_exchange_rows(xs, halo, axis, row_axis=row_axis)
+        idx = jax.lax.axis_index(axis)
+        g = (idx * local + (jnp.arange(local + 2 * halo) - halo)) \
+            .astype(jnp.int32)
+        y = fn(padded, g)
+        sl = [slice(None)] * y.ndim
+        sl[row_axis] = slice(halo, y.shape[row_axis] - halo)
+        return y[tuple(sl)]
+
+    placed = jax.lax.with_sharding_constraint(x, NamedSharding(mesh, pspec))
+    out = shard_map(body, mesh=mesh, in_specs=(pspec,), out_specs=pspec,
+                    check_rep=False)(placed)
+    return out
+
+
 def spatial_apply(fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
                   x: jnp.ndarray,
                   halo: int,

@@ -22,6 +22,7 @@ class OpContext:
         resources_dir: str = "/tmp/scannertools_tpu_resources",
         profiler=None,
         pipe_devices=None,
+        sp_devices=None,
     ):
         self.job = job
         self.stream_meta = stream_meta or {}
@@ -33,6 +34,10 @@ class OpContext:
         #: prefix sized to their own stage count — models/pose.py
         #: body_forward_pipelined)
         self.pipe_devices = list(pipe_devices) if pipe_devices else None
+        #: devices reserved for spatial (frame-row) parallelism
+        #: (PerfParams.spatial_shards; row-shardable ops build an 'sp'
+        #: mesh — ops/imgproc.py blur)
+        self.sp_devices = list(sp_devices) if sp_devices else None
         self._kernel_cache: Dict[Tuple, Any] = {}
 
     def pipe_mesh(self, n_stages: int):
@@ -44,6 +49,20 @@ class OpContext:
         from jax.sharding import Mesh
 
         return Mesh(_np.array(self.pipe_devices[:n_stages]), ("pipe",))
+
+    def sp_mesh(self, rows: int = 0, halo: int = 0):
+        """An 'sp' mesh over the reserved spatial devices, or None when
+        spatial parallelism is off or ``rows`` can't shard over it
+        (must divide evenly with each local shard >= ``halo``)."""
+        if not self.sp_devices:
+            return None
+        n = len(self.sp_devices)
+        if rows and (rows % n != 0 or rows // n < halo):
+            return None
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        return Mesh(_np.array(self.sp_devices), ("sp",))
 
     @property
     def fps(self) -> float:

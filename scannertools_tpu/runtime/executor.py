@@ -516,12 +516,18 @@ class Executor:
             devs = jax.devices()
             if len(devs) >= perf.pipeline_stages:
                 pipe_devices = devs[: perf.pipeline_stages]
+        sp_devices = None
+        if perf.spatial_shards > 1:
+            devs = jax.devices()
+            if len(devs) >= perf.spatial_shards:
+                sp_devices = devs[: perf.spatial_shards]
         ctx = OpContext(
             job=job,
             stream_meta=stream_meta,
             resources_dir=self.client.config.resources_dir(),
             profiler=self.profiler,
             pipe_devices=pipe_devices,
+            sp_devices=sp_devices,
         )
 
         # rows are zipped across inputs (reference N-input jobs): every
@@ -664,10 +670,10 @@ class Executor:
                 get_op(n.name).kind == "device"
                 or get_op(n.name).device_inputs  # host op driving nested
                 for n in consumers               # device programs (pose)
-            ) and decoder is not None and not pipe_devices
-            # (stage-pipelined segments span a multi-device mesh; frames
-            # stay host-side so jit shards them rather than fighting a
-            # single-device-committed input)
+            ) and decoder is not None and not pipe_devices and not sp_devices
+            # (stage-pipelined / row-sharded segments span a multi-device
+            # mesh; frames stay host-side so jit shards them rather than
+            # fighting a single-device-committed input)
             # I420 ingest (VERDICT r3 #1): frames headed straight for the
             # device travel as 1.5 B/px YUV planes (half the uplink bytes of
             # RGB24, zero host swscale) with the YUV->RGB conversion fused
@@ -990,6 +996,8 @@ class Executor:
                 None if self._mesh is None else int(self._mesh.devices.size),
                 None if not ctx.pipe_devices
                 else tuple(d.id for d in ctx.pipe_devices),
+                None if not ctx.sp_devices
+                else tuple(d.id for d in ctx.sp_devices),
                 tuple(sorted(ctx.stream_meta.items())),
                 no_jit,
                 forced,

@@ -117,8 +117,11 @@ def test_frame_difference_pipeline(sc, ingested, video_frames):
     sampled = sc.streams.Range(frame, [(0, 40)])
     diff = sc.ops.FrameDifference(frames=sampled)
     out = st.NamedStream(sc, "fdiff")
+    # ingest="rgb": video_frames is the cv2 RGB decode; the I420 "auto"
+    # ingest is +-2 LSB vs that (tests/test_yuv_ingest.py covers its
+    # tolerance) and this test pins the stencil logic bit-exactly
     sc.run(sc.io.Output(diff, [out]),
-           st.PerfParams.manual(work_packet_size=16),
+           st.PerfParams.manual(work_packet_size=16, ingest="rgb"),
            cache_mode=st.CacheMode.Overwrite)
     got = list(out.load())
     assert len(got) == 40
