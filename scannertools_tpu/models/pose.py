@@ -378,31 +378,59 @@ def infer_maps(variables, frames_pm5: jnp.ndarray, out_hw: Tuple[int, int],
     return heat, paf
 
 
+def merge_scale_maps(maps: List[jnp.ndarray],
+                     out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """CMU multi-scale merge (op::resizeAndMergeCaffe semantics behind
+    openpose_kernel.cpp:94-141's op::Wrapper): raw net outputs from each
+    pyramid scale are CUBIC-resized to the LARGEST scale's net-output grid
+    and averaged THERE — not an average of full-frame upsamplings — then
+    the merged maps are upsampled once to ``out_hw`` for decoding. The
+    final upsample is LINEAR to match the single-scale ``infer_maps``
+    contract exactly (so scales=(1.0, 1.0) is bit-identical to (1.0,));
+    only the cross-scale merge uses the cubic resizeAndMerge kernel.
+    maps: per-scale [T, h_s, w_s, C], largest grid first."""
+    t, bh, bw, c = maps[0].shape
+    acc = maps[0]
+    for m in maps[1:]:
+        acc = acc + jax.image.resize(m, (t, bh, bw, c), "cubic")
+    merged = acc / len(maps)
+    if (bh, bw) == tuple(out_hw):
+        return merged
+    return jax.image.resize(merged, (t, out_hw[0], out_hw[1], c), "linear")
+
+
 def device_stage(variables, frames_f32: jnp.ndarray,
                  scales: Tuple[float, ...] = (1.0,), pipe_mesh=None):
     """Full device side for a chunk: [T,H,W,3] raw [0,255] ->
     (peaks [T,18,K,3], valid [T,18,K], scores [T,L,K,K]).
     Preprocess matches CPM2Input: /256 - 0.5 (cpm2_input_kernel_gpu.cpp).
-    Multi-scale: heatmaps/PAFs from each pyramid scale are resized to the
-    base resolution and averaged (the op::Wrapper pose_num_scales /
-    pose_scale_gap semantics, openpose_kernel.cpp:94-141)."""
+    Multi-scale (pose_num_scales / pose_scale_gap,
+    openpose_kernel.cpp:94-141): every scale runs the net at its OWN
+    resolution and the raw net outputs merge at the largest scale's
+    net-output grid (``merge_scale_maps``), the CMU wrapper contract —
+    not an average of full-frame upsamplings."""
     x = frames_f32 / 256.0 - 0.5
     t, h, w, _ = x.shape
-    heat_acc = None
-    paf_acc = None
-    for s in scales:
-        if s == 1.0:
-            xi = x
-        else:
+    if len(scales) == 1 and scales[0] == 1.0:
+        heat, paf = infer_maps(variables, x, (h, w), pipe_mesh=pipe_mesh)
+    else:
+        heats, pafs = [], []
+        for s in sorted(scales, reverse=True):  # largest grid first
             hs = max(8, int(round(h * s)) // 8 * 8)
             ws = max(8, int(round(w * s)) // 8 * 8)
-            xi = jax.image.resize(x, (t, hs, ws, 3), "linear",
-                                  antialias=False)
-        heat, paf = infer_maps(variables, xi, (h, w), pipe_mesh=pipe_mesh)
-        heat_acc = heat if heat_acc is None else heat_acc + heat
-        paf_acc = paf if paf_acc is None else paf_acc + paf
-    heat = heat_acc / len(scales)
-    paf = paf_acc / len(scales)
+            if (hs, ws) == (h, w):
+                xi = x
+            else:
+                xi = jax.image.resize(x, (t, hs, ws, 3), "linear",
+                                      antialias=False)
+            if pipe_mesh is not None:
+                hm, pf = body_forward_pipelined(variables, xi, pipe_mesh)
+            else:
+                hm, pf = OpenPoseBody().apply(variables, xi)
+            heats.append(hm)
+            pafs.append(pf)
+        heat = merge_scale_maps(heats, (h, w))
+        paf = merge_scale_maps(pafs, (h, w))
 
     def per_frame(hm, pf):
         peaks, valid = find_peaks(hm)

@@ -256,9 +256,11 @@ def openpose_forward(ctx, aux, frame, weights_path: Optional[str] = None,
                      pose_num_scales: int = 1, pose_scale_gap: float = 0.1):
     """Body network + peak finding + PAF line integrals on device.
     ``pose_num_scales``/``pose_scale_gap`` follow the reference op's
-    multi-scale knobs (openpose_kernel.cpp:94-141); scales are averaged in
-    heatmap space. Outputs: peaks [T,18,P,3] (padded-pixel coords), valid,
-    limb scores, dims [T,2] = (h, w) of the unpadded frames."""
+    multi-scale knobs (openpose_kernel.cpp:94-141): each scale runs the
+    net at its own resolution and the raw outputs merge at the largest
+    scale's net-output grid (models/pose.merge_scale_maps — the CMU
+    resizeAndMerge contract). Outputs: peaks [T,18,P,3] (padded-pixel
+    coords), valid, limb scores, dims [T,2] = (h, w) unpadded."""
     x = as_hwc_f32(frame)
     t, h, w, _ = x.shape
     # pad to a multiple of 8 (network stride; CPM2Input pads to %8)

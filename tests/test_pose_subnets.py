@@ -188,12 +188,115 @@ def test_multi_scale_merge_at_max_resolution(monkeypatch):
     peaks, valid = np.asarray(peaks), np.asarray(valid)
     assert valid[0, 0, 0]
     x, y, score = peaks[0, 0, 0]
-    assert abs(x - 0.3 * 128) <= 2.0, x
-    assert abs(y - 0.4 * 96) <= 2.0, y
+    # within half a net stride (the 0.5-scale grid is 16px-coarse before
+    # the merge; merging at the wrong resolution would halve x to ~19)
+    assert abs(x - 0.3 * 128) <= 4.0, x
+    assert abs(y - 0.4 * 96) <= 4.0, y
     # both scales contribute the same unit bump -> the equal-weight
     # average stays near 1.0 (bilinear upsampling of the coarse stride-8
     # grid attenuates the peak ~10%); an unnormalized SUM would give ~1.8
     assert 0.75 <= score <= 1.05, score
+
+
+def _np_resize_1d_weights(n_in, n_out, kernel):
+    """Interpolation weight matrix [n_out, n_in] with jax.image.resize
+    semantics: half-pixel centers, out-of-range taps dropped and the
+    remaining weights renormalized (verified against jax empirically)."""
+    W = np.zeros((n_out, n_in))
+    for i in range(n_out):
+        pos = (i + 0.5) * n_in / n_out - 0.5
+        base = int(np.floor(pos))
+        lo, hi = (base - 1, base + 3) if kernel == "cubic" else (base, base + 2)
+        for k in range(lo, hi):
+            d = abs(pos - k)
+            if kernel == "cubic":
+                A = -0.5
+                w = ((A + 2) * d**3 - (A + 3) * d**2 + 1 if d <= 1
+                     else (A * d**3 - 5 * A * d**2 + 8 * A * d - 4 * A
+                           if d < 2 else 0.0))
+            else:  # linear
+                w = max(0.0, 1.0 - d)
+            if 0 <= k < n_in:
+                W[i, k] = w
+        s = W[i].sum()
+        if s:
+            W[i] /= s
+    return W
+
+
+def _np_resize(m, out_hw, kernel):
+    """Independent numpy separable resize of [T,h,w,C] maps (upsampling
+    only, so no antialiasing term)."""
+    t, h, w, c = m.shape
+    Wy = _np_resize_1d_weights(h, out_hw[0], kernel)
+    Wx = _np_resize_1d_weights(w, out_hw[1], kernel)
+    return np.einsum("Yh,Xw,thwc->tYXc", Wy, Wx, m, optimize=True)
+
+
+def test_merge_scale_maps_matches_numpy_resize_and_merge_oracle():
+    """Output-level oracle for the CMU multi-scale merge (VERDICT r3 #10):
+    an independent numpy transcription of resizeAndMerge — cubic-resize
+    every smaller scale's RAW net output to the largest scale's net-output
+    grid, average there, single linear upsample — must reproduce
+    merge_scale_maps. Also proves the old average-of-full-frame-upsamplings
+    formulation is NOT what runs (the two differ on this data)."""
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(2, 12, 16, 3)).astype(np.float32)   # scale 1.0
+    small = rng.normal(size=(2, 6, 8, 3)).astype(np.float32)    # scale 0.5
+    out_hw = (96, 128)
+
+    got = np.asarray(pose_lib.merge_scale_maps(
+        [jnp.asarray(base), jnp.asarray(small)], out_hw))
+
+    merged = (base + _np_resize(small, (12, 16), "cubic")) / 2
+    want = _np_resize(merged, out_hw, "linear")
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    # the pre-contract formulation: upsample each scale to full frame,
+    # then average — measurably different on the same inputs
+    old = (_np_resize(base, out_hw, "linear")
+           + _np_resize(small, out_hw, "linear")) / 2
+    assert np.abs(old - want).max() > 1e-3
+
+
+def test_device_stage_multi_scale_runs_net_at_each_scale(monkeypatch):
+    """Output-level: device_stage(scales=(1.0, 0.5)) must equal find_peaks
+    over the numpy-oracle-merged maps of per-resolution net outputs — i.e.
+    the net runs at EACH scale's own resolution and only raw net-output
+    grids are merged (openpose_kernel.cpp:94-141 -> op::Wrapper)."""
+    rng = np.random.default_rng(5)
+    outs = {}
+
+    def fake_apply(self, variables, x):
+        t, h, w, _ = x.shape
+        key = (h // 8, w // 8)
+        if key not in outs:
+            r = np.random.default_rng(hash(key) % 2**32)
+            outs[key] = (
+                r.uniform(0, 1, (t, h // 8, w // 8, pose_lib.N_HEAT))
+                .astype(np.float32),
+                r.normal(0, 0.1, (t, h // 8, w // 8, pose_lib.N_PAF))
+                .astype(np.float32))
+        hm, pf = outs[key]
+        return jnp.asarray(hm), jnp.asarray(pf)
+
+    monkeypatch.setattr(pose_lib.OpenPoseBody, "apply", fake_apply)
+    frames = rng.uniform(0, 255, (1, 64, 80, 3)).astype(np.float32)
+    peaks, valid, _ = jax.jit(
+        lambda f: pose_lib.device_stage(None, f, scales=(1.0, 0.5)))(
+        jnp.asarray(frames))
+
+    # oracle: same fake outputs, numpy merge, device find_peaks
+    hm1, pf1 = outs[(8, 10)]
+    hm2, pf2 = outs[(4, 5)]
+    heat = _np_resize((hm1 + _np_resize(hm2, (8, 10), "cubic")) / 2,
+                      (64, 80), "linear")
+    want_peaks, want_valid = jax.jit(pose_lib.find_peaks)(
+        jnp.asarray(heat[0], jnp.float32))
+    np.testing.assert_array_equal(np.asarray(valid[0]),
+                                  np.asarray(want_valid))
+    np.testing.assert_allclose(np.asarray(peaks[0]),
+                               np.asarray(want_peaks), atol=2e-4)
 
 
 def test_multi_scale_duplicate_scale_equals_single(monkeypatch):
