@@ -21,7 +21,8 @@ Quick start (mirrors the reference's scannerpy API, tests/test_all.py:150-159):
 """
 
 from . import protobufs, types
-from .config import CacheMode, Config, DeviceType, PerfParams
+from .config import (CacheMode, Config, DeviceType, PerfParams,
+                     RecycleRequested)
 from .client import Client
 from .registry import register_op, register_python_op
 from .runtime.context import Kernel
@@ -42,5 +43,6 @@ __all__ = [
     "CaptionStream", "Client", "Config", "DeviceType", "FilesStorage",
     "FilesStream", "FrameType", "Kernel", "NamedStream", "NamedVideoStream",
     "PackedFileStorage", "PackedFileStream", "PerfParams", "PythonStorage",
-    "PythonStream", "protobufs", "register_op", "register_python_op", "types",
+    "PythonStream", "RecycleRequested", "protobufs", "register_op",
+    "register_python_op", "types",
 ]

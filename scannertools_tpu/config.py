@@ -34,6 +34,16 @@ class DeviceType(enum.Enum):
     TPU = "tpu"
 
 
+class RecycleRequested(RuntimeError):
+    """The executor's process RSS crossed PerfParams.recycle_rss_mb at a
+    job boundary (every completed job is committed; nothing is lost).
+    Catch it — or use parallel/recycling.run_recycling — and re-run in a
+    fresh process with a cache mode that skips committed jobs. Why a
+    restart and not an in-process fix: the relayed PJRT backend retains
+    the host copy of every upload, unreclaimable by gc/clear_caches/
+    clear_backends/malloc_trim (measured; docs/PERF_NOTES.md §3)."""
+
+
 class CacheMode(enum.Enum):
     """Job-level caching semantics (reference old/prelude.py:241-262).
 
@@ -100,6 +110,22 @@ class PerfParams:
     # — for frames too large for one chip's activation working set.
     # Ops fall back to the unsharded form when H doesn't divide. 0/1 = off.
     spatial_shards: int = 0
+    # Expert parallelism (VERDICT r3 weak #2): >1 reserves that many mesh
+    # devices as an 'expert' axis; MoE ops (ops/nn_generic.MoEHead) shard
+    # their expert-stacked weights one-group-per-chip via
+    # parallel/expert.moe_apply_traced, with a single psum combine over
+    # ICI. Ops fall back to the single-chip reference formulation when
+    # n_experts doesn't divide the axis. 0/1 = off.
+    expert_shards: int = 0
+    # Worker recycling budget (ROADMAP #12 root cause: the relayed PJRT
+    # backend permanently retains the host copy of every upload, so a
+    # long-lived process's RSS grows by total ingested bytes and the host
+    # eventually pages — docs/PERF_NOTES.md §3). When >0, the executor
+    # raises RecycleRequested at the next JOB boundary once process RSS
+    # exceeds this many MB; parallel/recycling.run_recycling respawns the
+    # worker, and committed jobs are skipped on re-entry
+    # (CacheMode.Ignore/Resume). 0 = off.
+    recycle_rss_mb: float = 0.0
 
     @classmethod
     def estimate(cls, **overrides) -> "PerfParams":
@@ -137,6 +163,8 @@ class PerfParams:
             prefetch_depth=depth, ingest=self.ingest,
             pipeline_stages=self.pipeline_stages,
             spatial_shards=self.spatial_shards,
+            expert_shards=self.expert_shards,
+            recycle_rss_mb=self.recycle_rss_mb,
         )
 
     @classmethod
@@ -149,6 +177,8 @@ class PerfParams:
         ingest: str = "auto",
         pipeline_stages: int = 0,
         spatial_shards: int = 0,
+        expert_shards: int = 0,
+        recycle_rss_mb: float = 0.0,
         **_ignored,
     ) -> "PerfParams":
         io_packet_size = max(io_packet_size, work_packet_size)
@@ -160,6 +190,8 @@ class PerfParams:
             ingest=ingest,
             pipeline_stages=pipeline_stages,
             spatial_shards=spatial_shards,
+            expert_shards=expert_shards,
+            recycle_rss_mb=recycle_rss_mb,
         )
 
 

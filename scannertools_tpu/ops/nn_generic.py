@@ -131,6 +131,50 @@ def nn_forward(ctx, aux, input, model: str = "", descriptor_path: str = "",
     return out
 
 
+def _moe_aux(ctx, params):
+    from ..parallel.expert import init_moe_params
+
+    E = int(params.get("n_experts", 8))
+    F = int(params.get("d_model", 0))
+    H = int(params.get("d_hidden", 256))
+    if F <= 0:
+        raise ValueError("MoEHead requires d_model (input feature width)")
+    return _get_params(f"nn:moe:{E}:{F}:{H}", params.get("weights_path"),
+                       lambda rng: init_moe_params(rng, E, F, H))
+
+
+@register_op("MoEHead", kind="device", aux=_moe_aux,
+             outputs=("array_f32",))
+def moe_head(ctx, aux, input, n_experts: int = 8, d_model: int = 0,
+             d_hidden: int = 256, capacity_factor: float = 2.0,
+             weights_path: Optional[str] = None):
+    """Routed mixture-of-experts FFN head over per-row feature vectors
+    (e.g. FaceNet/streetstyle embeddings from NNForward) — a TPU-native
+    addition with no reference analog (the reference's nets are fixed
+    per-frame CNNs, SURVEY §2j); rows flatten to [T, d_model].
+
+    Under ``PerfParams(expert_shards=N)`` the expert-stacked weights shard
+    one-group-per-chip over the reserved 'expert' mesh axis with a single
+    psum combine over ICI (parallel/expert.moe_apply_traced, composed into
+    the fused segment so GSPMD partitions it); otherwise — or when
+    n_experts doesn't divide the axis — the single-chip reference
+    formulation runs, with identical routing/capacity/drop semantics.
+    """
+    from ..parallel.expert import moe_apply_traced, moe_reference
+
+    x = as_hwc_f32(input)  # FrameChunk or plain array -> f32
+    x = x.reshape(x.shape[0], -1)
+    if x.shape[1] != int(d_model):
+        raise ValueError(
+            f"MoEHead d_model={d_model} but input rows flatten to "
+            f"{x.shape[1]} features")
+    mesh = ctx.ep_mesh(n_experts) if hasattr(ctx, "ep_mesh") else None
+    if mesh is not None:
+        return moe_apply_traced(aux, x, mesh,
+                                capacity_factor=capacity_factor)
+    return moe_reference(aux, x, capacity_factor=capacity_factor)
+
+
 def _frcnn_aux(ctx, params):
     init_fn, _ = get_model("faster_rcnn")
     return _get_params("nn:faster_rcnn", params.get("weights_path"), init_fn)

@@ -67,6 +67,53 @@ def _dispatch_mask(logits: jnp.ndarray, capacity: int):
     return combine
 
 
+def _moe_body(axis: str, capacity: int):
+    """Per-chip shard_map body shared by moe_apply and moe_apply_traced."""
+
+    def body(p, xs):
+        # p["w1"]/p["w2"] arrive [E/n, F, H]/[E/n, H, F]; router repl.
+        idx = jax.lax.axis_index(axis)
+        e_local = p["w1"].shape[0]
+        logits = xs @ p["router"]                          # [T, E]
+        combine = _dispatch_mask(logits, capacity)         # [T, E, C]
+        # my experts' slice of the dispatch
+        mine = jax.lax.dynamic_slice_in_dim(
+            combine, idx * e_local, e_local, axis=1)       # [T, e, C]
+        dispatched = jnp.einsum("tec,tf->ecf",
+                                (mine > 0).astype(xs.dtype),
+                                xs)                        # [e, C, F]
+        h = jax.nn.relu(jnp.einsum("ecf,efh->ech", dispatched, p["w1"]))
+        y = jnp.einsum("ech,ehf->ecf", h, p["w2"])         # [e, C, F]
+        out = jnp.einsum("tec,ecf->tf", mine, y)           # partial
+        return jax.lax.psum(out, axis)
+
+    return body
+
+
+def moe_apply_traced(params: Dict[str, jnp.ndarray], x: jnp.ndarray,
+                     mesh: Mesh, axis: str = "expert",
+                     capacity_factor: float = 2.0) -> jnp.ndarray:
+    """``moe_apply`` for use INSIDE an enclosing jit trace (the executor's
+    fused device segments): no jit/device_put of its own — expert-stacked
+    weights are steered onto the ``axis`` sharding with constraints and the
+    shard_map composes into the outer program (GSPMD partitions it).
+    Identical routing/capacity/drop semantics to moe_apply/moe_reference.
+    """
+    E = int(params["w1"].shape[0])
+    n = int(mesh.shape[axis])
+    if E % n != 0:
+        raise ValueError(f"n_experts={E} must divide mesh axis {n}")
+    T = int(x.shape[0])
+    capacity = max(1, int(capacity_factor * T / E))
+    pspec = {"router": P(), "w1": P(axis), "w2": P(axis)}
+    placed = {k: jax.lax.with_sharding_constraint(
+        jnp.asarray(v), NamedSharding(mesh, pspec[k]))
+        for k, v in params.items()}
+    fn = shard_map(_moe_body(axis, capacity), mesh=mesh,
+                   in_specs=(pspec, P()), out_specs=P(), check_rep=False)
+    return fn(placed, x)
+
+
 def moe_apply(params: Dict[str, jnp.ndarray], x: jnp.ndarray,
               mesh: Mesh, axis: str = "expert",
               capacity_factor: float = 2.0) -> jnp.ndarray:
@@ -89,25 +136,8 @@ def moe_apply(params: Dict[str, jnp.ndarray], x: jnp.ndarray,
     key = (mesh, axis, capacity)
     fn = _RUNNER_CACHE.get(key)
     if fn is None:
-
-        def body(p, xs):
-            # p["w1"]/p["w2"] arrive [E/n, F, H]/[E/n, H, F]; router repl.
-            idx = jax.lax.axis_index(axis)
-            e_local = p["w1"].shape[0]
-            logits = xs @ p["router"]                          # [T, E]
-            combine = _dispatch_mask(logits, capacity)         # [T, E, C]
-            # my experts' slice of the dispatch
-            mine = jax.lax.dynamic_slice_in_dim(
-                combine, idx * e_local, e_local, axis=1)       # [T, e, C]
-            dispatched = jnp.einsum("tec,tf->ecf",
-                                    (mine > 0).astype(xs.dtype),
-                                    xs)                        # [e, C, F]
-            h = jax.nn.relu(jnp.einsum("ecf,efh->ech", dispatched, p["w1"]))
-            y = jnp.einsum("ech,ehf->ecf", h, p["w2"])         # [e, C, F]
-            out = jnp.einsum("tec,ecf->tf", mine, y)           # partial
-            return jax.lax.psum(out, axis)
-
-        fn = jax.jit(shard_map(body, mesh=mesh, in_specs=(pspec, P()),
+        fn = jax.jit(shard_map(_moe_body(axis, capacity), mesh=mesh,
+                               in_specs=(pspec, P()),
                                out_specs=P(), check_rep=False))
         _RUNNER_CACHE[key] = fn
     placed = {k: jax.device_put(v, NamedSharding(mesh, pspec[k]))

@@ -23,6 +23,7 @@ class OpContext:
         profiler=None,
         pipe_devices=None,
         sp_devices=None,
+        ep_devices=None,
     ):
         self.job = job
         self.stream_meta = stream_meta or {}
@@ -38,6 +39,10 @@ class OpContext:
         #: (PerfParams.spatial_shards; row-shardable ops build an 'sp'
         #: mesh — ops/imgproc.py blur)
         self.sp_devices = list(sp_devices) if sp_devices else None
+        #: devices reserved for expert parallelism
+        #: (PerfParams.expert_shards; MoE ops build an 'expert' mesh —
+        #: ops/nn_generic.py MoEHead)
+        self.ep_devices = list(ep_devices) if ep_devices else None
         self._kernel_cache: Dict[Tuple, Any] = {}
 
     def pipe_mesh(self, n_stages: int):
@@ -63,6 +68,21 @@ class OpContext:
         from jax.sharding import Mesh
 
         return Mesh(_np.array(self.sp_devices), ("sp",))
+
+    def ep_mesh(self, n_experts: int = 0):
+        """An 'expert' mesh over the reserved expert-parallel devices, or
+        None when expert parallelism is off or ``n_experts`` doesn't
+        divide the axis (MoE ops fall back to the single-chip reference
+        formulation)."""
+        if not self.ep_devices:
+            return None
+        n = len(self.ep_devices)
+        if n_experts and n_experts % n != 0:
+            return None
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        return Mesh(_np.array(self.ep_devices), ("expert",))
 
     @property
     def fps(self) -> float:

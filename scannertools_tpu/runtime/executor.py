@@ -43,6 +43,18 @@ from .context import OpContext
 from .profiler import Profiler
 
 
+def _rss_mb() -> float:
+    """Resident set size of this process in MB (Linux)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1024.0
+    except OSError:
+        pass
+    return 0.0
+
+
 def _clamp(i: int, lo: int, hi: int) -> int:
     return max(lo, min(hi, i))
 
@@ -405,6 +417,31 @@ class Executor:
                           warm=warm_decoders,
                           on_decode_drained=(lambda n=nxt: warm_job(n))
                           if (nxt is not None and overlap) else None)
+            did_work[0] = True
+
+        did_work = [False]  # set by run_one on a real (non-skipped) job
+
+        def check_recycle_budget() -> None:
+            # ROADMAP #12 root cause: the relayed PJRT backend retains the
+            # host copy of every upload — RSS grows by total ingested bytes
+            # and is unreclaimable in-process (docs/PERF_NOTES.md §3). At a
+            # job boundary every completed job is committed, so a typed
+            # restart request loses nothing; run_recycling (or any caller)
+            # re-runs in a fresh process with Ignore/Resume semantics.
+            # Guarded on did_work: a fresh worker whose BASELINE RSS already
+            # exceeds the budget must still make progress (skipping
+            # committed jobs costs nothing and must never trigger a
+            # restart loop).
+            if not did_work[0]:
+                return
+            if perf.recycle_rss_mb and _rss_mb() > perf.recycle_rss_mb:
+                from ..config import RecycleRequested
+
+                raise RecycleRequested(
+                    f"process RSS {_rss_mb():.0f} MB > "
+                    f"recycle_rss_mb={perf.recycle_rss_mb:g}; completed "
+                    "jobs are committed — re-run in a fresh process with "
+                    "CacheMode.Ignore/Resume to continue")
 
         try:
             it = iter(jobs)
@@ -413,6 +450,15 @@ class Executor:
                 nxt = next(it, None)
                 run_one(cur, nxt)
                 cur = nxt
+                if cur is not None:
+                    try:
+                        check_recycle_budget()
+                    except Exception:
+                        # don't strand the looked-ahead claim until it ages
+                        # out — the successor process re-claims it instantly
+                        if claims is not None:
+                            claims.release(cur)
+                        raise
         finally:
             for dec in warm_decoders.values():  # unconsumed warmups
                 try:
@@ -444,6 +490,7 @@ class Executor:
                 for job in claims.iter_jobs(n_jobs):
                     run_one(job)
                     progressed = True
+                    check_recycle_budget()
                 if not progressed:
                     # remaining jobs are claimed by live (heartbeating)
                     # hosts — wait for them to commit or go stale
@@ -521,6 +568,11 @@ class Executor:
             devs = jax.devices()
             if len(devs) >= perf.spatial_shards:
                 sp_devices = devs[: perf.spatial_shards]
+        ep_devices = None
+        if perf.expert_shards > 1:
+            devs = jax.devices()
+            if len(devs) >= perf.expert_shards:
+                ep_devices = devs[: perf.expert_shards]
         ctx = OpContext(
             job=job,
             stream_meta=stream_meta,
@@ -528,6 +580,7 @@ class Executor:
             profiler=self.profiler,
             pipe_devices=pipe_devices,
             sp_devices=sp_devices,
+            ep_devices=ep_devices,
         )
 
         # rows are zipped across inputs (reference N-input jobs): every
@@ -670,10 +723,11 @@ class Executor:
                 get_op(n.name).kind == "device"
                 or get_op(n.name).device_inputs  # host op driving nested
                 for n in consumers               # device programs (pose)
-            ) and decoder is not None and not pipe_devices and not sp_devices
-            # (stage-pipelined / row-sharded segments span a multi-device
-            # mesh; frames stay host-side so jit shards them rather than
-            # fighting a single-device-committed input)
+            ) and decoder is not None and not pipe_devices \
+                and not sp_devices and not ep_devices
+            # (stage-pipelined / row-sharded / expert-sharded segments span
+            # a multi-device mesh; frames stay host-side so jit shards them
+            # rather than fighting a single-device-committed input)
             # I420 ingest (VERDICT r3 #1): frames headed straight for the
             # device travel as 1.5 B/px YUV planes (half the uplink bytes of
             # RGB24, zero host swscale) with the YUV->RGB conversion fused
@@ -998,6 +1052,8 @@ class Executor:
                 else tuple(d.id for d in ctx.pipe_devices),
                 None if not ctx.sp_devices
                 else tuple(d.id for d in ctx.sp_devices),
+                None if not ctx.ep_devices
+                else tuple(d.id for d in ctx.ep_devices),
                 tuple(sorted(ctx.stream_meta.items())),
                 no_jit,
                 forced,

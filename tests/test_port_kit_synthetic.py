@@ -17,7 +17,7 @@ import sys
 import numpy as np
 import pytest
 
-from tests.test_weight_parsers import _blob, _ld
+from tests.test_weight_parsers import _blob, _ld, _tag, _varint
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -48,7 +48,7 @@ def kit(tmp_path_factory):
     """Build artifacts, run the kit once, return (artifacts, ported)."""
     import jax
 
-    from scannertools_tpu.models import faster_rcnn, mtcnn
+    from scannertools_tpu.models import faster_rcnn, mtcnn, ssd
     from scannertools_tpu.models import porting_maps as pm
     from scannertools_tpu.models import weights as W
 
@@ -84,6 +84,28 @@ def kit(tmp_path_factory):
         net += _ld(100, body)
     (art / "VGG16_faster_rcnn_final.caffemodel").write_bytes(net)
 
+    # ---- ssd: a TF frozen graph (GraphDef protobuf wire) ------------
+    # the exact on-disk format the reference feeds TF1
+    # (object_detection.py:38-44): Const nodes named like checkpoint
+    # variables (some with TF1's "/read" identity suffix), each holding a
+    # TensorProto {dtype=DT_FLOAT, tensor_shape, tensor_content}
+    ssd_vars = ssd.init_params(rng)
+    flat = W._flatten(ssd_vars)
+    nodes = b""
+    for i, (path, (tfk, kind)) in enumerate(sorted(pm.ssd_mapping().items())):
+        a = np.asarray(_invert(kind, flat[path]), "<f4")
+        tshape = b"".join(_ld(2, _tag(1, 0) + _varint(int(s)))  # Dim.size
+                          for s in a.shape)
+        tensor = (_tag(1, 0) + _varint(1)          # dtype = DT_FLOAT
+                  + _ld(2, tshape) + _ld(4, a.tobytes()))
+        attr_entry = _ld(1, b"value") + _ld(2, _ld(8, tensor))
+        name = tfk + ("/read" if i % 3 == 0 else "")  # mix both namings
+        node = _ld(1, name.encode()) + _ld(2, b"Const") + _ld(5, attr_entry)
+        nodes += _ld(1, node)
+    # a non-Const node and a non-float Const must be ignored by the reader
+    nodes += _ld(1, _ld(1, b"Preprocessor/map") + _ld(2, b"Identity"))
+    (art / "frozen_inference_graph.pb").write_bytes(nodes)
+
     # ---- facenet templates: 25x4 f32 binary -------------------------
     tpl = np.random.RandomState(3).rand(25, 4).astype("<f4")
     (art / "facenet_templates.bin").write_bytes(tpl.tobytes())
@@ -93,14 +115,14 @@ def kit(tmp_path_factory):
     res = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts/port_checkpoints.py"),
          "--artifacts", str(art),
-         "--families", "mtcnn,faster_rcnn,facenet_templates"],
+         "--families", "mtcnn,faster_rcnn,ssd,facenet_templates"],
         capture_output=True, text=True, timeout=1200, env=env)
     assert res.returncode == 0, res.stdout + res.stderr
     assert "FAILED" not in res.stdout, res.stdout
-    for fam in ("mtcnn", "faster_rcnn", "facenet_templates"):
+    for fam in ("mtcnn", "faster_rcnn", "ssd", "facenet_templates"):
         assert fam in res.stdout.split("skipped")[0], res.stdout
     return art, art / "ported", {"mtcnn": mt_vars, "faster_rcnn": fr_vars,
-                                 "tpl": tpl}
+                                 "ssd": ssd_vars, "tpl": tpl}
 
 
 def _assert_tree_equal(a, b, path=""):
@@ -127,6 +149,17 @@ def test_kit_roundtrips_faster_rcnn_caffemodel(kit):
     art, ported, src = kit
     got = W.load_params(str(ported / "faster_rcnn.npz"))
     _assert_tree_equal(got, src["faster_rcnn"])
+
+
+def test_kit_roundtrips_ssd_frozen_graph(kit):
+    """The TF frozen-graph artifact format (the reference's actual SSD
+    shipping format, object_detection.py:38-44) round-trips through the
+    pure-python GraphDef reader + porting map bit-exactly."""
+    from scannertools_tpu.models import weights as W
+
+    art, ported, src = kit
+    got = W.load_params(str(ported / "ssd.npz"))
+    _assert_tree_equal(got, src["ssd"])
 
 
 def test_kit_templates_roundtrip(kit):
