@@ -147,6 +147,7 @@ def _moe_aux(ctx, params):
              outputs=("array_f32",))
 def moe_head(ctx, aux, input, n_experts: int = 8, d_model: int = 0,
              d_hidden: int = 256, capacity_factor: float = 2.0,
+             capacity_batch: int = 0,
              weights_path: Optional[str] = None):
     """Routed mixture-of-experts FFN head over per-row feature vectors
     (e.g. FaceNet/streetstyle embeddings from NNForward) — a TPU-native
@@ -168,11 +169,19 @@ def moe_head(ctx, aux, input, n_experts: int = 8, d_model: int = 0,
         raise ValueError(
             f"MoEHead d_model={d_model} but input rows flatten to "
             f"{x.shape[1]} features")
+    # Capacity from a fixed reference batch (capacity_batch>0) makes the
+    # drop behavior independent of work_packet_size / tail-chunk length;
+    # default derives it from the per-chunk row count (ADVICE r4 — see
+    # PARITY.md "Documented deviations").
+    cap = max(1, int(capacity_factor * capacity_batch / n_experts)) \
+        if capacity_batch > 0 else 0
     mesh = ctx.ep_mesh(n_experts) if hasattr(ctx, "ep_mesh") else None
     if mesh is not None:
         return moe_apply_traced(aux, x, mesh,
-                                capacity_factor=capacity_factor)
-    return moe_reference(aux, x, capacity_factor=capacity_factor)
+                                capacity_factor=capacity_factor,
+                                capacity=cap)
+    return moe_reference(aux, x, capacity_factor=capacity_factor,
+                         capacity=cap)
 
 
 def _frcnn_aux(ctx, params):

@@ -92,7 +92,8 @@ def _moe_body(axis: str, capacity: int):
 
 def moe_apply_traced(params: Dict[str, jnp.ndarray], x: jnp.ndarray,
                      mesh: Mesh, axis: str = "expert",
-                     capacity_factor: float = 2.0) -> jnp.ndarray:
+                     capacity_factor: float = 2.0,
+                     capacity: int = 0) -> jnp.ndarray:
     """``moe_apply`` for use INSIDE an enclosing jit trace (the executor's
     fused device segments): no jit/device_put of its own — expert-stacked
     weights are steered onto the ``axis`` sharding with constraints and the
@@ -104,7 +105,8 @@ def moe_apply_traced(params: Dict[str, jnp.ndarray], x: jnp.ndarray,
     if E % n != 0:
         raise ValueError(f"n_experts={E} must divide mesh axis {n}")
     T = int(x.shape[0])
-    capacity = max(1, int(capacity_factor * T / E))
+    if capacity <= 0:
+        capacity = max(1, int(capacity_factor * T / E))
     pspec = {"router": P(), "w1": P(axis), "w2": P(axis)}
     placed = {k: jax.lax.with_sharding_constraint(
         jnp.asarray(v), NamedSharding(mesh, pspec[k]))
@@ -116,7 +118,8 @@ def moe_apply_traced(params: Dict[str, jnp.ndarray], x: jnp.ndarray,
 
 def moe_apply(params: Dict[str, jnp.ndarray], x: jnp.ndarray,
               mesh: Mesh, axis: str = "expert",
-              capacity_factor: float = 2.0) -> jnp.ndarray:
+              capacity_factor: float = 2.0,
+              capacity: int = 0) -> jnp.ndarray:
     """Expert-parallel top-1 MoE FFN: ``x`` [T, F] -> [T, F].
 
     ``params`` from ``init_moe_params``; expert-stacked weights shard
@@ -130,7 +133,8 @@ def moe_apply(params: Dict[str, jnp.ndarray], x: jnp.ndarray,
     if E % n != 0:
         raise ValueError(f"n_experts={E} must divide mesh axis {n}")
     T = int(x.shape[0])
-    capacity = max(1, int(capacity_factor * T / E))
+    if capacity <= 0:
+        capacity = max(1, int(capacity_factor * T / E))
 
     pspec = {"router": P(), "w1": P(axis), "w2": P(axis)}
     key = (mesh, axis, capacity)
@@ -146,11 +150,17 @@ def moe_apply(params: Dict[str, jnp.ndarray], x: jnp.ndarray,
 
 
 def moe_reference(params: Dict[str, jnp.ndarray], x: jnp.ndarray,
-                  capacity_factor: float = 2.0) -> jnp.ndarray:
-    """Unsharded golden with identical routing/capacity/drop semantics."""
+                  capacity_factor: float = 2.0,
+                  capacity: int = 0) -> jnp.ndarray:
+    """Unsharded golden with identical routing/capacity/drop semantics.
+
+    ``capacity`` pins the per-expert slot count directly (callers wanting
+    chunking-independent drop behavior derive it from a fixed reference
+    batch instead of the per-chunk T — ADVICE r4)."""
     E = int(params["w1"].shape[0])
     T = int(x.shape[0])
-    capacity = max(1, int(capacity_factor * T / E))
+    if capacity <= 0:
+        capacity = max(1, int(capacity_factor * T / E))
     logits = x @ params["router"]
     combine = _dispatch_mask(logits, capacity)                 # [T, E, C]
     dispatched = jnp.einsum("tec,tf->ecf",

@@ -75,6 +75,39 @@ print("FALLBACK_OK")
 """
 
 
+def test_moe_capacity_batch_pins_drop_semantics():
+    """ADVICE r4: default capacity derives from the per-chunk row count, so
+    chunking changes which tokens drop. ``capacity``/``capacity_batch``
+    pins it — with a generous pinned capacity the per-row outputs are
+    independent of how the stream was chunked."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from scannertools_tpu.parallel.expert import (init_moe_params,
+                                                  moe_reference)
+
+    params = init_moe_params(jax.random.PRNGKey(0), n_experts=4, d_model=16,
+                             d_hidden=8)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(32, 16)), jnp.float32)
+    cap = 32  # >= any expert's load under any chunking: nothing drops
+    whole = np.asarray(moe_reference(params, x, capacity=cap))
+    by_chunks = np.concatenate([
+        np.asarray(moe_reference(params, x[i:i + 8], capacity=cap))
+        for i in range(0, 32, 8)])
+    np.testing.assert_allclose(whole, by_chunks, atol=1e-5)
+
+    # default (capacity from T): whole-batch cap=16 vs per-chunk cap=4 —
+    # the two capacity regimes really are different computations
+    skewed = jnp.concatenate([x[:1]] * 32, axis=0)  # all route together
+    whole_def = np.asarray(moe_reference(params, skewed))
+    chunk_def = np.concatenate([
+        np.asarray(moe_reference(params, skewed[i:i + 8]))
+        for i in range(0, 32, 8)])
+    assert not np.allclose(whole_def, chunk_def, atol=1e-5)
+
+
 @pytest.mark.slow
 def test_expert_shards_through_executor():
     env = dict(os.environ)
