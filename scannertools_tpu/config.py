@@ -117,6 +117,15 @@ class PerfParams:
     # ICI. Ops fall back to the single-chip reference formulation when
     # n_experts doesn't divide the axis. 0/1 = off.
     expert_shards: int = 0
+    # Sink encoding steering (VERDICT r4 #5): "auto" lets the executor
+    # switch ops that declare a compact sink encoding (OpDef.compact_sink,
+    # e.g. OpticalFlow's float16 flow) to it when their output feeds ONLY
+    # sinks — 4x fewer device->host + sink bytes for store-raw patterns;
+    # loads still return float32 (the serde upcasts; see types.py 'flow').
+    # "float32" disables the steering; "float16" is an explicit alias of
+    # auto (both only ever touch ops that declared tolerance, and never
+    # override an explicitly passed op param).
+    sink_dtype: str = "auto"
     # Worker recycling budget (ROADMAP #12 root cause: the relayed PJRT
     # backend permanently retains the host copy of every upload, so a
     # long-lived process's RSS grows by total ingested bytes and the host
@@ -164,6 +173,7 @@ class PerfParams:
             pipeline_stages=self.pipeline_stages,
             spatial_shards=self.spatial_shards,
             expert_shards=self.expert_shards,
+            sink_dtype=self.sink_dtype,
             recycle_rss_mb=self.recycle_rss_mb,
         )
 
@@ -178,6 +188,7 @@ class PerfParams:
         pipeline_stages: int = 0,
         spatial_shards: int = 0,
         expert_shards: int = 0,
+        sink_dtype: str = "auto",
         recycle_rss_mb: float = 0.0,
         **_ignored,
     ) -> "PerfParams":
@@ -191,6 +202,7 @@ class PerfParams:
             pipeline_stages=pipeline_stages,
             spatial_shards=spatial_shards,
             expert_shards=expert_shards,
+            sink_dtype=sink_dtype,
             recycle_rss_mb=recycle_rss_mb,
         )
 

@@ -363,7 +363,8 @@ def farneback_pairs(
     return flow
 
 
-@register_op("OpticalFlow", kind="device", stencil=(0, 1), outputs=("flow",))
+@register_op("OpticalFlow", kind="device", stencil=(0, 1), outputs=("flow",),
+             compact_sink="out_dtype")
 def optical_flow(ctx, frames, levels: int = 3, pyr_scale: float = 0.5,
                  win_size: int = 15, iters: int = 3, poly_n: int = 5,
                  poly_sigma: float = 1.2, warp_px: int = 16,

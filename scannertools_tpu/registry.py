@@ -53,6 +53,12 @@ class OpDef:
     # OpenPose decode launches a nested crop program against the
     # already-uploaded FrameChunk instead of pulling frames to the host).
     device_inputs: bool = False
+    # Compact sink encoding (VERDICT r4 #5): the name of an op param that
+    # selects a float16 output encoding tolerable for STORAGE (the serde
+    # upcasts on load). When set, the executor steers the param to
+    # "float16" for nodes whose output feeds only sinks — unless the user
+    # passed the param explicitly or PerfParams(sink_dtype="float32").
+    compact_sink: Optional[str] = None
 
     @property
     def n_outputs(self) -> int:
@@ -76,6 +82,7 @@ def register_op(
     init_state: Optional[Callable] = None,
     aux: Optional[Callable] = None,
     device_inputs: bool = False,
+    compact_sink: Optional[str] = None,
 ):
     """Decorator registering an op implementation under ``name``.
 
@@ -95,6 +102,7 @@ def register_op(
             init_state=init_state,
             aux=aux,
             device_inputs=device_inputs,
+            compact_sink=compact_sink,
         )
         return fn
 

@@ -315,6 +315,30 @@ class Executor:
                          job_distribution=job_distribution,
                          claim_timeout_sec=claim_timeout_sec)
             return
+        # Compact sink encodings (VERDICT r4 #5): an op that declares a
+        # compact storage dtype (OpDef.compact_sink, e.g. OpticalFlow's
+        # float16 flow — 4x fewer device->host and sink bytes, <0.1 px
+        # error at video scales, upcast on load) gets it by default when
+        # its output feeds ONLY sinks. Explicit op params and
+        # PerfParams(sink_dtype="float32") both win over the steering.
+        if perf.sink_dtype in ("auto", "float16"):
+            op_consumed = {
+                e.node.id
+                for n in order if isinstance(n, OpNode)
+                for e in n.inputs.values()
+            }
+            for node in order:
+                if not isinstance(node, OpNode):
+                    continue
+                pname = getattr(get_op(node.name), "compact_sink", None)
+                if (pname and pname not in node.params
+                        and node.id not in op_consumed
+                        and any(e.node is node for e in output.columns)):
+                    node.params[pname] = "float16"
+        elif perf.sink_dtype != "float32":
+            raise ValueError(
+                f"sink_dtype must be auto|float32|float16, got "
+                f"{perf.sink_dtype!r}")
         # multi-source graphs zip rows across inputs (reference: N-input
         # jobs, e.g. audio + captions in old/test_audio.py:7-29); every
         # input must carry the same number of per-job streams

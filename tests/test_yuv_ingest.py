@@ -174,6 +174,47 @@ def test_flow_f16_sink(sc, texture_video):
     assert b16 < 0.6 * b32
 
 
+def test_flow_f16_sink_auto_steering(sc, texture_video):
+    """VERDICT r4 #5: store-raw-flow patterns get the float16 sink encoding
+    BY DEFAULT (PerfParams.sink_dtype='auto' + OpDef.compact_sink) — the
+    4× win is steered, not opt-in. Flow consumed by a downstream op keeps
+    float32; explicit params and sink_dtype='float32' both disable."""
+    import numpy as np
+
+    h, w = texture_video["h"], texture_video["w"]
+
+    def run_flow(name, perf=None, consumer=False, **flow_kw):
+        video = st.NamedVideoStream(sc, f"steer_{name}",
+                                    path=texture_video["path"])
+        frame = sc.io.Input([video])
+        g = sc.streams.Range(frame, [(0, 4)])
+        flow = sc.ops.OpticalFlow(frames=g, **flow_kw)
+        cols = flow
+        if consumer:
+            cols = [flow, sc.ops.FlowHistogram(flow=flow)]
+        outs = st.NamedStream(sc, f"steerflow_{name}")
+        sinks = [outs] if not consumer else [
+            (outs, st.NamedStream(sc, f"steerfh_{name}"))]
+        sc.run(sc.io.Output(cols, sinks),
+               perf or st.PerfParams.manual(work_packet_size=4),
+               cache_mode=st.CacheMode.Overwrite)
+        elems = list(outs.load())
+        assert all(e.dtype == np.float32 for e in elems)  # load contract
+        return sum(len(b) for b in outs.load_bytes(range(4)))
+
+    f16_bytes = 4 * (8 + h * w * 2 * 2)
+    f32_bytes = 4 * (8 + h * w * 2 * 4)
+    # sink-only consumer + default params -> steered to f16
+    assert run_flow("auto") == f16_bytes
+    # a downstream op consumer -> stays f32 (compute keeps full precision)
+    assert run_flow("consumed", consumer=True) == f32_bytes
+    # explicit op param wins over the steering
+    assert run_flow("explicit", out_dtype="float32") == f32_bytes
+    # PerfParams(sink_dtype="float32") disables it
+    assert run_flow("off", perf=st.PerfParams.manual(
+        work_packet_size=4, sink_dtype="float32")) == f32_bytes
+
+
 def test_flow_serde_f16_roundtrip():
     from scannertools_tpu.types import get_type
 
