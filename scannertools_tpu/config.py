@@ -98,24 +98,31 @@ class PerfParams:
     #   "i420" — require the planar path (error if the source can't).
     ingest: str = "auto"
     # Pipeline parallelism over the model's stage chain (VERDICT r3 #3):
-    # >1 reserves that many mesh devices as a stage pipeline; ops whose
-    # models declare a uniform stage chain (OpenPose's 5 refinement
-    # stages) run one stage per chip via a GPipe ppermute scan
-    # (parallel/pipeline_parallel.pipeline_apply_traced). 0/1 = off.
+    # >1 reserves that many mesh devices as a stage pipeline; ops that
+    # declare a uniform stage chain (OpDef.stages metadata — OpenPose's
+    # body refinement and the face/hand crop sub-nets) run one stage per
+    # chip via a GPipe ppermute scan
+    # (parallel/pipeline_parallel.pipeline_apply_traced). 0/1 = off;
+    # -1 under estimate() auto-picks the longest declared chain.
     pipeline_stages: int = 0
     # Spatial parallelism over each frame's row axis (VERDICT r3 #3):
-    # >1 reserves that many mesh devices as an 'sp' axis; row-shardable
-    # device ops (stencil stacks like Blur) split H over the chips and
-    # exchange conv halos over ICI (parallel/spatial.spatial_apply_traced)
-    # — for frames too large for one chip's activation working set.
-    # Ops fall back to the unsharded form when H doesn't divide. 0/1 = off.
+    # >1 reserves that many mesh devices as an 'sp' axis; ops declaring
+    # row-shardability (OpDef.sp_halo metadata — Blur halo stacks,
+    # ConvertColor/ConvertToHSV/FrameDifference pointwise) split H over
+    # the chips and exchange conv halos over ICI
+    # (parallel/spatial.spatial_apply_traced / _pointwise) — for frames
+    # too large for one chip's activation working set. Ops fall back to
+    # the unsharded form when H doesn't divide. 0/1 = off; -1 under
+    # estimate() auto-picks the largest count the geometry supports.
     spatial_shards: int = 0
     # Expert parallelism (VERDICT r3 weak #2): >1 reserves that many mesh
-    # devices as an 'expert' axis; MoE ops (ops/nn_generic.MoEHead) shard
-    # their expert-stacked weights one-group-per-chip via
-    # parallel/expert.moe_apply_traced, with a single psum combine over
-    # ICI. Ops fall back to the single-chip reference formulation when
-    # n_experts doesn't divide the axis. 0/1 = off.
+    # devices as an 'expert' axis; ops declaring expert groups
+    # (OpDef.experts metadata — MoEHead, the streetstyle attribute heads)
+    # shard their group-stacked weights one-per-chip via
+    # parallel/expert.moe_apply_traced / streetstyle.heads_apply_sharded,
+    # with a single combine over ICI. Ops fall back to the single-chip
+    # reference formulation when the group count doesn't divide the axis.
+    # 0/1 = off; -1 under estimate() auto-picks a dividing count.
     expert_shards: int = 0
     # Sink encoding steering (VERDICT r4 #5): "auto" lets the executor
     # switch ops that declare a compact sink encoding (OpDef.compact_sink,
@@ -143,7 +150,11 @@ class PerfParams:
         return cls(auto=True, fixed=tuple(sorted(overrides)), **overrides)
 
     def resolve(self, frame_bytes: Optional[int] = None, halo: int = 0,
-                n_devices: int = 1) -> "PerfParams":
+                n_devices: int = 1, rows: int = 0,
+                declared_stages: tuple = (),
+                declared_sp_halos: tuple = (),
+                declared_experts: tuple = (),
+                total_devices: int = 1) -> "PerfParams":
         """Concrete params for one job.
 
         frame_bytes: decoded size of one element (H*W*3 for video; None for
@@ -151,6 +162,21 @@ class PerfParams:
         halo: extra rows each chunk decodes for temporal stencils.
         n_devices: data-parallel mesh size (chunks must divide evenly to
         avoid pad waste).
+
+        Axis sizing (VERDICT r4 #8) — the executor passes what the GRAPH
+        declares (OpDef.sp_halo/stages/experts metadata) plus the job's
+        frame geometry, and resolve() accepts, declines, or auto-sizes:
+          * ``pipeline_stages=-1`` picks the longest declared stage chain
+            (0 when nothing declares one or devices are short); an
+            explicit value is declined to 0 when no declared chain could
+            engage it (every chain needs stages >= its length).
+          * ``spatial_shards=-1`` picks the largest device count that
+            divides the frame's rows with each local shard >= the largest
+            declared halo; explicit values are declined when no op
+            declares row-shardability or the geometry can't shard.
+          * ``expert_shards=-1`` picks the largest device count dividing
+            a declared expert-group count; explicit values are declined
+            when nothing declares experts divisible by them.
         """
         if not self.auto:
             return self
@@ -166,13 +192,39 @@ class PerfParams:
         depth = self.prefetch_depth
         if "prefetch_depth" not in self.fixed:
             depth = max(2, io // max(w, 1))
+
+        stages = self.pipeline_stages
+        if stages == -1:
+            best = max(declared_stages, default=0)
+            stages = best if best >= 2 and total_devices >= best else 0
+        elif stages > 1 and not any(L <= stages for L in declared_stages):
+            stages = 0  # nothing in this graph could engage the pipeline
+
+        sp = self.spatial_shards
+        sp_halo = max(declared_sp_halos, default=0)
+        def _sp_ok(n):
+            return (declared_sp_halos != () and rows > 0 and rows % n == 0
+                    and rows // n >= max(sp_halo, 1))
+        if sp == -1:
+            sp = next((n for n in range(total_devices, 1, -1) if _sp_ok(n)),
+                      0)
+        elif sp > 1 and not _sp_ok(sp):
+            sp = 0  # geometry/divisibility makes the requested axis a loss
+
+        ep = self.expert_shards
+        if ep == -1:
+            ep = next((n for n in range(total_devices, 1, -1)
+                       if any(E % n == 0 for E in declared_experts)), 0)
+        elif ep > 1 and not any(E % ep == 0 for E in declared_experts):
+            ep = 0
+
         return PerfParams(
             work_packet_size=w, io_packet_size=max(io, w),
             pipeline_instances_per_node=self.pipeline_instances_per_node,
             prefetch_depth=depth, ingest=self.ingest,
-            pipeline_stages=self.pipeline_stages,
-            spatial_shards=self.spatial_shards,
-            expert_shards=self.expert_shards,
+            pipeline_stages=stages,
+            spatial_shards=sp,
+            expert_shards=ep,
             sink_dtype=self.sink_dtype,
             recycle_rss_mb=self.recycle_rss_mb,
         )

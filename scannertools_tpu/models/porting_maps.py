@@ -171,8 +171,10 @@ def facenet_mapping() -> Dict[str, Tuple[str, str]]:
     return out
 
 
-def port_facenet(variables: Dict, state_dict: Dict) -> Dict:
-    """Expand bn pseudo-entries then drive weights.port_state_dict."""
+def facenet_expanded_mapping() -> Dict[str, Tuple[str, str]]:
+    """facenet_mapping with bn pseudo-entries expanded to concrete
+    scale/bias/mean/var leaves (what port_state_dict consumes; also used
+    by the synthetic kit drill to invert artifacts)."""
     mapping: Dict[str, Tuple[str, str]] = {}
     for path, (tk, kind) in facenet_mapping().items():
         if kind == "bn":
@@ -188,7 +190,13 @@ def port_facenet(variables: Dict, state_dict: Dict) -> Dict:
             mapping[f"batch_stats/{bn}/var"] = (f"{tk}.running_var", "raw")
         else:
             mapping[f"params/{path}"] = (tk, kind)
-    return W.port_state_dict(variables, state_dict, mapping)
+    return mapping
+
+
+def port_facenet(variables: Dict, state_dict: Dict) -> Dict:
+    """Expand bn pseudo-entries then drive weights.port_state_dict."""
+    return W.port_state_dict(variables, state_dict,
+                             facenet_expanded_mapping())
 
 
 # ------------------------------------------------- SSD-MobileNetV1 (TF)

@@ -247,6 +247,82 @@ class OpenPoseCrop(nn.Module):
         return out  # [B, H/8, W/8, out_channels]
 
 
+class _CropFront(nn.Module):
+    """OpenPoseCrop's front (VGG trunk + conv5_3_CPM feature + stage-1
+    head), layer names identical to OpenPoseCrop so it applies against
+    the SAME variables tree (flax ignores unused params) — the replicated
+    part of the pipelined crop forward."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = [(64, False), (64, True), (128, False), (128, True),
+               (256, False), (256, False), (256, False), (256, True),
+               (512, False), (512, False), (512, False), (512, False),
+               (512, False), (512, False)]
+        names = ["conv1_1", "conv1_2", "conv2_1", "conv2_2", "conv3_1",
+                 "conv3_2", "conv3_3", "conv3_4", "conv4_1", "conv4_2",
+                 "conv4_3", "conv4_4", "conv5_1", "conv5_2"]
+        for (f, pool), name in zip(cfg, names):
+            x = _ConvRelu(f, name=name)(x)
+            if pool:
+                x = nn.max_pool(x, (2, 2), (2, 2))
+        feat = _ConvRelu(128, name="conv5_3_CPM")(x)
+        h = _ConvRelu(512, kernel=1, name="conv6_1_CPM")(feat)
+        out = nn.Conv(self.out_channels, (1, 1), name="conv6_2_CPM")(h)
+        return out, feat
+
+
+class _CropRefineStage(nn.Module):
+    """One uniform OpenPoseCrop refinement stage (stages 2..6 share this
+    shape) over the packed hidden ``[.., out_channels + 128]`` (out ++
+    feat): emits the new out with feat passed through — the
+    pipeline-parallel stage function (names M1..M7 map to
+    Mconv{j}_stage{s} via ``crop_stage_params``)."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, h):
+        feat = h[..., self.out_channels:]
+        a = h
+        for j in range(1, 6):
+            a = _ConvRelu(128, kernel=7, name=f"M{j}")(a)
+        a = _ConvRelu(128, kernel=1, name="M6")(a)
+        out = nn.Conv(self.out_channels, (1, 1), name="M7")(a)
+        return jnp.concatenate([out, feat], axis=-1)
+
+
+def crop_stage_params(variables, stages: int = 6):
+    """Per-refinement-stage param subtrees of an OpenPoseCrop variables
+    tree, renamed for _CropRefineStage (Mconv{j}_stage{s} -> M{j})."""
+    p = variables["params"]
+    return [
+        {"params": {f"M{j}": p[f"Mconv{j}_stage{s}"] for j in range(1, 8)}}
+        for s in range(2, stages + 1)
+    ]
+
+
+def crop_forward_pipelined(variables, crops: jnp.ndarray, n_kp: int,
+                           pipe_mesh, stages: int = 6) -> jnp.ndarray:
+    """OpenPoseCrop forward with the ``stages-1`` uniform refinement
+    stages one per chip along ``pipe_mesh`` (crops = GPipe microbatches;
+    parallel/pipeline_parallel.pipeline_apply_traced). Front replicated,
+    like ``body_forward_pipelined``. Returns the final maps
+    [B, H/8, W/8, n_kp + 1]."""
+    from ..parallel.pipeline_parallel import (pipeline_apply_traced,
+                                              stack_stage_params)
+
+    out, feat = _CropFront(n_kp + 1).apply(variables, crops)
+    h = jnp.concatenate([out, feat], axis=-1)
+    stacked = stack_stage_params(crop_stage_params(variables, stages))
+    h = pipeline_apply_traced(
+        lambda pv, hh: _CropRefineStage(n_kp + 1).apply(pv, hh),
+        stacked, h[:, None], pipe_mesh)[:, 0]
+    return h[..., : n_kp + 1]
+
+
 FACE_KEYPOINTS = 70
 HAND_KEYPOINTS = 21
 
@@ -262,12 +338,18 @@ def init_hand_params(rng: jax.Array, stages: int = 6) -> Dict[str, Any]:
 
 
 def crop_keypoints(variables, crops: jnp.ndarray, n_kp: int,
-                   stages: int = 6) -> jnp.ndarray:
+                   stages: int = 6, pipe_mesh=None) -> jnp.ndarray:
     """Decode a batch of single-person crops -> [B, n_kp, 3] (x, y in crop-
     normalized [0,1], score). Single subject per crop, so the per-channel
     argmax is the keypoint (the wrapper does the same for face/hands —
-    there is no PAF grouping in the crop nets)."""
-    maps = OpenPoseCrop(n_kp + 1, stages=stages).apply(variables, crops)
+    there is no PAF grouping in the crop nets). ``pipe_mesh`` runs the
+    refinement chain one stage per chip (PerfParams(pipeline_stages=N)
+    via OpenPoseDecode's compute_face/compute_hands)."""
+    if pipe_mesh is not None:
+        maps = crop_forward_pipelined(variables, crops, n_kp, pipe_mesh,
+                                      stages=stages)
+    else:
+        maps = OpenPoseCrop(n_kp + 1, stages=stages).apply(variables, crops)
     maps = maps[..., :n_kp]  # drop background
     b, mh, mw, _ = maps.shape
     flat = maps.reshape(b, mh * mw, n_kp)

@@ -156,7 +156,7 @@ def prepare_clothing_bbox(ctx, frame, bboxes):
 
 
 def _classify(frame, bboxes, model_tag: str, predict_name: str,
-              record_cls, weights_path, crop_fn):
+              record_cls, weights_path, crop_fn, mesh=None):
     import jax
     import jax.numpy as jnp
 
@@ -182,9 +182,14 @@ def _classify(frame, bboxes, model_tag: str, predict_name: str,
                 crops.append(c)
                 src.append((i, j))
     if crops:
-        key = f"streetstyle_fn:{model_tag}"
+        # key by the mesh's device ids: ctx builds a fresh (equal) Mesh
+        # per chunk, and a fresh jit wrapper per chunk would retrace
+        dev_key = tuple(d.id for d in mesh.devices.flat) \
+            if mesh is not None else ()
+        key = f"streetstyle_fn:{model_tag}:{dev_key}"
         if key not in _MODEL_CACHE:
-            _MODEL_CACHE[key] = jax.jit(predict)
+            _MODEL_CACHE[key] = jax.jit(
+                lambda v, c, m=mesh: predict(v, c, mesh=m))
         preds = np.asarray(_MODEL_CACHE[key](
             variables, jnp.asarray(_pad_batch(crops, INPUT_SIZE))))
         for p, (i, j) in zip(preds, src):
@@ -192,20 +197,29 @@ def _classify(frame, bboxes, model_tag: str, predict_name: str,
     return out
 
 
-@register_op("DetectClothing", kind="host", outputs=("object",))
+@register_op("DetectClothing", kind="host", outputs=("object",),
+             experts=lambda p: len(CLOTHING_ATTRIBUTES))
 def detect_clothing(ctx, frame, bboxes, adjust_bboxes: bool = True,
                     weights_path: Optional[str] = None):
     """Multi-head clothing attributes per person box
     (old/clothing_detection.py:212-260). ``adjust_bboxes`` applies
     PrepareClothingBbox first, as the reference pipeline does
-    (clothing_detection.py:291-297)."""
+    (clothing_detection.py:291-297).
+
+    Under ``PerfParams(expert_shards=N)`` the 16 attribute heads shard
+    one-group-per-chip over the reserved 'expert' mesh (experts =
+    attribute heads; models/streetstyle.heads_apply_sharded) — same
+    predictions as the single-chip per-head path."""
     from .faces import _crop_resize_host
 
     if adjust_bboxes:
         bboxes = prepare_clothing_bbox(ctx, frame, bboxes)
+    mesh = ctx.ep_mesh(len(CLOTHING_ATTRIBUTES)) \
+        if hasattr(ctx, "ep_mesh") else None
     return _classify(frame, bboxes, "clothing", "predict_clothing",
                      Clothing, weights_path,
-                     lambda f, b: _crop_resize_host(f, b, INPUT_SIZE))
+                     lambda f, b: _crop_resize_host(f, b, INPUT_SIZE),
+                     mesh=mesh)
 
 
 def _hair_crop(frame: np.ndarray, bbox):
@@ -228,10 +242,14 @@ def _hair_crop(frame: np.ndarray, bbox):
     return cv2.resize(crop, (INPUT_SIZE, INPUT_SIZE))
 
 
-@register_op("DetectHairStyle", kind="host", outputs=("object",))
+@register_op("DetectHairStyle", kind="host", outputs=("object",),
+             experts=lambda p: len(HAIRSTYLE_ATTRIBUTES))
 def detect_hairstyle(ctx, frame, bboxes,
                      weights_path: Optional[str] = None):
     """3-head hair attributes per face box
-    (old/hairstyle_detection.py:56-120)."""
+    (old/hairstyle_detection.py:56-120). The 3 heads shard over the
+    'expert' mesh under expert_shards like DetectClothing."""
+    mesh = ctx.ep_mesh(len(HAIRSTYLE_ATTRIBUTES)) \
+        if hasattr(ctx, "ep_mesh") else None
     return _classify(frame, bboxes, "hairstyle", "predict_hairstyle",
-                     HairStyle, weights_path, _hair_crop)
+                     HairStyle, weights_path, _hair_crop, mesh=mesh)

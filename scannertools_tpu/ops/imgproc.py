@@ -99,7 +99,13 @@ def _box1d_same(a, axis, lo, hi):
     return _box1d(jnp.pad(a, pads), axis, lo, hi)
 
 
-@register_op("Blur", kind="device", outputs=("frame",))
+def _blur_sp_halo(params: dict):
+    k = int(params.get("kernel_size", 3))
+    return max(k // 2, k - k // 2 - 1)
+
+
+@register_op("Blur", kind="device", outputs=("frame",),
+             sp_halo=_blur_sp_halo)
 def blur(ctx, frame, kernel_size: int = 3, sigma: float = 0.0):
     """Box blur, integer mean over a kernel_size² window, interior pixels
     only (blur_kernel_cpu.cpp:62-79: value / k² in integer arithmetic).
@@ -205,15 +211,25 @@ _DEVICE_CONVERSIONS = {
 }
 
 
-@register_op("ConvertColor", kind="device", outputs=("frame",))
+@register_op("ConvertColor", kind="device", outputs=("frame",),
+             sp_halo=lambda p: 0)
 def convert_color(ctx, frame, conversion: str = "COLOR_RGB2GRAY"):
+    """Per-pixel, so row-pointwise: under ``PerfParams(spatial_shards=N)``
+    the rows shard over the reserved 'sp' mesh (halo 0, bit-identical —
+    parallel/spatial.spatial_apply_pointwise)."""
     x = _as_u8_hwc(frame)
     if conversion not in _DEVICE_CONVERSIONS:
         raise ValueError(
             f"ConvertColor: {conversion} has no device implementation; "
             "use ConvertColorHost for exotic cv2 codes"
         )
-    return _DEVICE_CONVERSIONS[conversion](x)
+    fn = _DEVICE_CONVERSIONS[conversion]
+    mesh = ctx.sp_mesh(x.shape[1]) if hasattr(ctx, "sp_mesh") else None
+    if mesh is not None:
+        from ..parallel.spatial import spatial_apply_pointwise
+
+        return spatial_apply_pointwise(fn, x, mesh)
+    return fn(x)
 
 
 @register_op("ConvertColorHost", kind="host", outputs=("frame",))
@@ -230,22 +246,36 @@ def convert_color_host(ctx, frames, conversion: str = "COLOR_RGB2GRAY"):
     return out
 
 
-@register_op("ConvertToHSV", kind="device", outputs=("frame",))
+@register_op("ConvertToHSV", kind="device", outputs=("frame",),
+             sp_halo=lambda p: 0)
 def convert_to_hsv(ctx, frame):
     """old/imgproc.py:40 — cv2.cvtColor(frame, COLOR_RGB2HSV)."""
-    return _rgb2hsv_u8(_as_u8_hwc(frame))
+    x = _as_u8_hwc(frame)
+    mesh = ctx.sp_mesh(x.shape[1]) if hasattr(ctx, "sp_mesh") else None
+    if mesh is not None:
+        from ..parallel.spatial import spatial_apply_pointwise
+
+        return spatial_apply_pointwise(_rgb2hsv_u8, x, mesh)
+    return _rgb2hsv_u8(x)
 
 
 # ------------------------------------------------------------ FrameDifference
 
 @register_op("FrameDifference", kind="device", stencil=(-1, 0),
-             outputs=("frame",))
+             outputs=("frame",), sp_halo=lambda p: 0)
 def frame_difference(ctx, frames):
     """|frame[i] - frame[i-1]| per pixel (fixed version of the reference's
     dead frame_difference_kernel_cpu.cpp). First frame diffs against itself
-    (stream-edge clamp) -> zeros."""
+    (stream-edge clamp) -> zeros. The temporal stencil is row-pointwise in
+    H, so rows shard over the 'sp' mesh under spatial_shards (halo 0)."""
     x = _as_u8_hwc(frames)  # [T+1, H, W, C] with 1-frame leading halo
-    return jnp.abs(x[1:] - x[:-1]).astype(jnp.uint8)
+    diff = lambda a: jnp.abs(a[1:] - a[:-1]).astype(jnp.uint8)
+    mesh = ctx.sp_mesh(x.shape[1]) if hasattr(ctx, "sp_mesh") else None
+    if mesh is not None:
+        from ..parallel.spatial import spatial_apply_pointwise
+
+        return spatial_apply_pointwise(diff, x, mesh)
+    return diff(x)
 
 
 # ------------------------------------------------- Brightness/Contrast/Sharp

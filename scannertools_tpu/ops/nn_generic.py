@@ -144,7 +144,8 @@ def _moe_aux(ctx, params):
 
 
 @register_op("MoEHead", kind="device", aux=_moe_aux,
-             outputs=("array_f32",))
+             outputs=("array_f32",),
+             experts=lambda p: int(p.get("n_experts", 8)))
 def moe_head(ctx, aux, input, n_experts: int = 8, d_model: int = 0,
              d_hidden: int = 256, capacity_factor: float = 2.0,
              capacity_batch: int = 0,

@@ -215,7 +215,7 @@ def _crop_batch_device(frames_f32: jnp.ndarray, items: jnp.ndarray,
 
 
 def _run_crop_net(cache_tag: str, weights_path, init_fn, n_kp: int,
-                  frames_dev, items: List, size: int):
+                  frames_dev, items: List, size: int, pipe_mesh=None):
     """Crop extraction + sub-network in ONE nested device program over the
     already-uploaded chunk: no per-person host work (openpose_kernel.cpp:
     108-141 ran 32 CUDA streams here). Item batch padded to a multiple of 4
@@ -226,11 +226,13 @@ def _run_crop_net(cache_tag: str, weights_path, init_fn, n_kp: int,
     it = np.zeros((pb, 5), np.float32)
     it[:b] = np.asarray(items, np.float32)
     t, h, w = frames_dev.shape[:3]
-    key = (f"{cache_tag}_fn", pb, size, t, h, w)
+    mesh_key = tuple(d.id for d in pipe_mesh.devices.flat) \
+        if pipe_mesh is not None else ()
+    key = (f"{cache_tag}_fn", pb, size, t, h, w, mesh_key)
     if key not in _MODEL_CACHE:
         _MODEL_CACHE[key] = jax.jit(
-            lambda v, fr, its: pose_lib.crop_keypoints(
-                v, _crop_batch_device(fr, its, size), n_kp))
+            lambda v, fr, its, m=pipe_mesh: pose_lib.crop_keypoints(
+                v, _crop_batch_device(fr, its, size), n_kp, pipe_mesh=m))
     out = np.asarray(_MODEL_CACHE[key](variables, frames_dev,
                                        jnp.asarray(it)))
     return out[:b]  # [b, n_kp, 3] crop-normalized
@@ -251,7 +253,8 @@ def _openpose_aux(ctx, params):
 
 
 @register_op("OpenPoseForward", kind="device", aux=_openpose_aux,
-             outputs=("array_f32", "array_i32", "array_f32", "array_i32"))
+             outputs=("array_f32", "array_i32", "array_f32", "array_i32"),
+             stages=lambda p: 5)
 def openpose_forward(ctx, aux, frame, weights_path: Optional[str] = None,
                      pose_num_scales: int = 1, pose_scale_gap: float = 0.1):
     """Body network + peak finding + PAF line integrals on device.
@@ -278,7 +281,9 @@ def openpose_forward(ctx, aux, frame, weights_path: Optional[str] = None,
 
 
 @register_op("OpenPoseDecode", kind="host", outputs=("pose_list",),
-             device_inputs=True)
+             device_inputs=True,
+             stages=lambda p: 5 if (p.get("compute_face")
+                                    or p.get("compute_hands")) else 0)
 def openpose_decode(ctx, peaks, valid, scores, dims, frame=None,
                     compute_face: bool = False, compute_hands: bool = False,
                     face_weights_path: Optional[str] = None,
@@ -342,11 +347,16 @@ def openpose_decode(ctx, peaks, valid, scores, dims, frame=None,
                         hb = _hand_box(p, wrist, elbow)
                         if hb is not None:
                             hand_items.append((p, slot, hb, i))
+        # The crop nets' 5 uniform refinement stages run one per chip
+        # under PerfParams(pipeline_stages>=5), like the body network
+        # (models/pose.crop_forward_pipelined)
+        pipe_mesh = ctx.pipe_mesh(5) if hasattr(ctx, "pipe_mesh") else None
         if face_items:
             kps = _run_crop_net(
                 "openpose_face", face_weights_path,
                 pose_lib.init_face_params, FK, frames_dev,
-                [(i, *box) for _, box, i in face_items], crop_net_size)
+                [(i, *box) for _, box, i in face_items], crop_net_size,
+                pipe_mesh=pipe_mesh)
             for (p, box, _), ckp in zip(face_items, kps):
                 _write_back(p._kp, face_slot, FK, box, ckp)
         if hand_items:
@@ -354,7 +364,7 @@ def openpose_decode(ctx, peaks, valid, scores, dims, frame=None,
                 "openpose_hand", hand_weights_path,
                 pose_lib.init_hand_params, HK, frames_dev,
                 [(i, *box[:4]) for _, _, box, i in hand_items],
-                crop_net_size)
+                crop_net_size, pipe_mesh=pipe_mesh)
             for (p, slot, box, _), ckp in zip(hand_items, kps):
                 _write_back(p._kp, slot, HK, box, ckp)
     return out

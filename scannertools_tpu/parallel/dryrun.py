@@ -331,8 +331,11 @@ def run_pp_executor_dryrun(n_devices: int) -> None:
 
 def run_sp_executor_dryrun(n_devices: int) -> None:
     """PerfParams(spatial_shards=n) through the REAL executor (VERDICT r3
-    #3): Blur's frame rows sharded one-slab-per-device with an ICI halo
-    exchange inside a normal sc.run, bit-exact vs the unsharded run."""
+    #3, generalized r4 #2): a FrameDifference -> Blur -> ConvertToHSV
+    chain — every op declaring OpDef.sp_halo — runs row-sharded
+    one-slab-per-device (halo exchange for Blur, pointwise constraints
+    for the rest) inside one fused sc.run segment, bit-exact vs the
+    unsharded run."""
     import tempfile
 
     import scannertools_tpu as st
@@ -372,9 +375,11 @@ def run_sp_executor_dryrun(n_devices: int) -> None:
 
         def run(shards, tag):
             frame = sc.io.Input([video])
-            blurred = sc.ops.Blur(frame=frame, kernel_size=9)
+            diff = sc.ops.FrameDifference(frames=frame)
+            blurred = sc.ops.Blur(frame=diff, kernel_size=9)
+            hsv = sc.ops.ConvertToHSV(frame=blurred)
             out = st.NamedStream(sc, f"sp_dry_{tag}")
-            sc.run(sc.io.Output(blurred, [out]),
+            sc.run(sc.io.Output(hsv, [out]),
                    st.PerfParams.manual(work_packet_size=4,
                                         spatial_shards=shards),
                    cache_mode=st.CacheMode.Overwrite)
@@ -443,3 +448,30 @@ def run_ep_executor_dryrun(n_devices: int) -> None:
         want = run(0, "ref")
         assert got.shape == want.shape
         assert np.allclose(got, want, atol=1e-4), "ep executor dryrun mismatch"
+
+        # DetectClothing: the 16 streetstyle attribute heads shard over
+        # the 'expert' mesh (VERDICT r4 #6 — experts = attribute heads);
+        # predictions must match the single-chip per-head path exactly.
+        from ..protobufs import BoundingBox
+
+        @st.register_python_op(name="EpDryFace", outputs=("object",))
+        def ep_dry_face(ctx, frames):
+            return [[BoundingBox(x1=0.1, y1=0.1, x2=0.9, y2=0.9, score=1.0)]
+                    for _ in range(len(frames))]
+
+        def run_clothing(shards, tag):
+            frame = sc.io.Input([video])
+            d = sc.ops.EpDryFace(frames=frame)
+            cl = sc.ops.DetectClothing(frame=frame, bboxes=d,
+                                       adjust_bboxes=False)
+            out = st.NamedStream(sc, f"ep_cl_{tag}")
+            sc.run(sc.io.Output(cl, [out]),
+                   st.PerfParams.manual(work_packet_size=4,
+                                        expert_shards=shards),
+                   cache_mode=st.CacheMode.Overwrite)
+            return [[r.predictions.tolist() for r in row]
+                    for row in out.load()]
+
+        got_cl = run_clothing(n_devices, "ep")
+        want_cl = run_clothing(0, "ref")
+        assert got_cl == want_cl, "expert-sharded clothing heads mismatch"

@@ -109,6 +109,37 @@ def spatial_apply_traced(fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
     return out
 
 
+def spatial_apply_pointwise(fn: Callable[[jnp.ndarray], jnp.ndarray],
+                            x: jnp.ndarray,
+                            mesh: Mesh,
+                            axis: str = "sp",
+                            row_axis: int = 1) -> jnp.ndarray:
+    """Row-shard a row-POINTWISE op (halo 0): steer the input's row axis
+    onto the 'sp' mesh with a sharding constraint, apply ``fn``, and
+    constrain the output rows the same way — GSPMD partitions the
+    (row-local) work over the reserved devices with no halo exchange.
+    Exact for any ``fn`` whose output row i depends only on input row i
+    (color conversions, per-pixel arithmetic, temporal stencils along
+    other axes). Composes into the executor's fused segments like
+    ``spatial_apply_traced``; callers fall back unsharded when rows don't
+    divide the axis (``ctx.sp_mesh`` returns None)."""
+    n = int(mesh.shape[axis])
+    rows = int(x.shape[row_axis])
+    if rows % n != 0:
+        raise ValueError(f"rows={rows} must divide mesh axis {n}")
+    spec = [None] * x.ndim
+    spec[row_axis] = axis
+    placed = jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(*spec)))
+    y = fn(placed)
+    if y.ndim > row_axis and int(y.shape[row_axis]) == rows:
+        out_spec = [None] * y.ndim
+        out_spec[row_axis] = axis
+        y = jax.lax.with_sharding_constraint(
+            y, NamedSharding(mesh, P(*out_spec)))
+    return y
+
+
 def spatial_apply(fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
                   x: jnp.ndarray,
                   halo: int,

@@ -59,6 +59,21 @@ class OpDef:
     # "float16" for nodes whose output feeds only sinks — unless the user
     # passed the param explicitly or PerfParams(sink_dtype="float32").
     compact_sink: Optional[str] = None
+    # Parallel-axis capabilities (VERDICT r4 #2): METADATA consumed by the
+    # executor (axis devices are reserved only when some graph op declares
+    # the axis), by PerfParams.resolve (accept/decline/auto-size a
+    # requested axis), and by the multichip dryrun — replacing per-op
+    # hand-wiring. The op fn still consumes the ctx.*_mesh itself at
+    # trace time (and falls back unsharded when the mesh is None).
+    # Each is None (axis not supported) or ``(params: dict) -> int|None``:
+    #   sp_halo(params)  halo rows per side of the op's row-sharded
+    #                    formulation (0 = row-pointwise); None = not
+    #                    shardable under these params
+    #   stages(params)   length of the op's uniform stage chain (>= 2)
+    #   experts(params)  number of weight groups shardable over 'expert'
+    sp_halo: Optional[Callable] = None
+    stages: Optional[Callable] = None
+    experts: Optional[Callable] = None
 
     @property
     def n_outputs(self) -> int:
@@ -83,6 +98,9 @@ def register_op(
     aux: Optional[Callable] = None,
     device_inputs: bool = False,
     compact_sink: Optional[str] = None,
+    sp_halo: Optional[Callable] = None,
+    stages: Optional[Callable] = None,
+    experts: Optional[Callable] = None,
 ):
     """Decorator registering an op implementation under ``name``.
 
@@ -103,6 +121,9 @@ def register_op(
             aux=aux,
             device_inputs=device_inputs,
             compact_sink=compact_sink,
+            sp_halo=sp_halo,
+            stages=stages,
+            experts=experts,
         )
         return fn
 

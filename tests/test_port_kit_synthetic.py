@@ -184,3 +184,109 @@ def test_kit_ported_weights_run_forward(kit):
     boxes, scores, valid = mtcnn.detect_batch(variables, frames)
     assert np.asarray(boxes).shape == (1, mtcnn.MAX_FACES, 4)
     assert np.isfinite(np.asarray(scores)).all()
+
+
+@pytest.fixture(scope="module")
+def kit_all(tmp_path_factory):
+    """Synthetic artifacts for EVERY remaining kit family (VERDICT r4 #9):
+    facenet (torch .pt), gender (TF-vars npz), openpose body/face/hand
+    (caffemodel wire), maskrcnn (torch .pth zip of the benchmark layout).
+    Each round-trips artifact parse -> layout convert -> shape-validated
+    port -> npz."""
+    import jax
+    import torch
+
+    from scannertools_tpu.models import facenet, gender
+    from scannertools_tpu.models import maskrcnn as mr
+    from scannertools_tpu.models import porting_maps as pm
+    from scannertools_tpu.models import pose
+    from scannertools_tpu.models import weights as W
+
+    art = tmp_path_factory.mktemp("artifacts_all")
+    rng = jax.random.PRNGKey(0)
+    src = {}
+
+    # ---- facenet: torch .pt (expanded bn leaves -> state_dict keys) ----
+    fn_vars = facenet.init_params(rng)
+    flat = W._flatten(fn_vars)
+    sd = {}
+    for path, (tk, kind) in pm.facenet_expanded_mapping().items():
+        sd[tk] = torch.tensor(np.asarray(_invert(kind, flat[path])))
+    torch.save(sd, art / "facenet_vggface2.pt")
+    src["facenet"] = fn_vars
+
+    # ---- gender: rude-carnie TF-vars npz ------------------------------
+    g_vars = gender.init_params(rng)
+    flat = W._flatten(g_vars)
+    tf_vars = {tk: _invert(kind, flat[path])
+               for path, (tk, kind) in pm.gender_mapping().items()}
+    np.savez(art / "gender_tf_vars.npz", **tf_vars)
+    src["gender"] = g_vars
+
+    # ---- openpose body + face + hand: caffemodel wire -----------------
+    def write_caffemodel(variables, mapping, fname):
+        flat = W._flatten(variables)
+        layers = {}
+        for path, (ck, kind) in mapping.items():
+            layer, leaf = ck.rsplit(".", 1)
+            layers.setdefault(layer, {})[leaf] = _invert(kind, flat[path])
+        net = b""
+        for name, blobs in layers.items():
+            body = _ld(1, name.encode())
+            for leaf in ("weight", "bias"):
+                if leaf in blobs:
+                    b = np.asarray(blobs[leaf], np.float32)
+                    body += _ld(7, _blob(b.shape, b))
+            net += _ld(100, body)
+        (art / fname).write_bytes(net)
+
+    op_vars = pose.init_params(rng)
+    write_caffemodel(op_vars, pm.openpose_mapping(),
+                     "pose_iter_440000.caffemodel")
+    src["openpose"] = op_vars
+    face_vars = pose.init_face_params(rng)
+    write_caffemodel(face_vars, pm.openpose_crop_mapping(),
+                     "pose_iter_116000.caffemodel")
+    src["openpose_face"] = face_vars
+    hand_vars = pose.init_hand_params(rng)
+    write_caffemodel(hand_vars, pm.openpose_crop_mapping(),
+                     "pose_iter_102000.caffemodel")
+    src["openpose_hand"] = hand_vars
+
+    # ---- maskrcnn: the benchmark .pth (zip) with a 'model' sub-dict ----
+    model = mr.MaskRCNNModel(jax.random.PRNGKey(0), arch="X-101-32x8d-FPN")
+    flat = W._flatten(model.variables)
+    sd = {}
+    for path, (tk, kind) in pm.maskrcnn_mapping("X-101-32x8d-FPN").items():
+        # checkpoints carry module.-prefixed keys; the port strips them
+        sd["module." + tk] = torch.tensor(
+            np.asarray(_invert(kind, flat[path])))
+    torch.save({"model": sd}, art / "e2e_mask_rcnn_X_101_32x8d_FPN_1x.pth")
+    src["maskrcnn"] = model.variables
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    fams = ("facenet,gender,openpose,openpose_face,openpose_hand,maskrcnn")
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/port_checkpoints.py"),
+         "--artifacts", str(art), "--families", fams],
+        capture_output=True, text=True, timeout=2400, env=env)
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "FAILED" not in res.stdout, res.stdout
+    for fam in fams.split(","):
+        assert fam in res.stdout.split("skipped")[0], res.stdout
+    return art / "ported", src
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("fam", ["facenet", "gender", "openpose",
+                                 "openpose_face", "openpose_hand",
+                                 "maskrcnn"])
+def test_kit_roundtrips_every_family(kit_all, fam):
+    """Every FAMILIES entry round-trips through its real on-disk format
+    (VERDICT r4 #9): torch .pt/.pth zips, caffemodel wire, TF-vars npz."""
+    from scannertools_tpu.models import weights as W
+
+    ported, src = kit_all
+    got = W.load_params(str(ported / f"{fam}.npz"))
+    _assert_tree_equal(got, src[fam])

@@ -70,6 +70,21 @@ fin_p, fin_r = np.isfinite(sc_pipe), np.isfinite(sc_ref)
 np.testing.assert_array_equal(fin_p, fin_r)
 np.testing.assert_allclose(sc_pipe[fin_p], sc_ref[fin_r], atol=1e-3)
 print("EXECUTOR_PP_OK")
+
+# ---- 3. generalized consumer (VERDICT r4 #2): the crop sub-nets' 5
+# uniform refinement stages pipeline the same way as the body network
+fvars = pose_lib.init_face_params(jax.random.PRNGKey(2), stages=6)
+crops = jnp.asarray(rng.normal(size=(4, 64, 64, 3)) * 0.3, jnp.float32)
+kp_pipe = np.asarray(jax.jit(
+    lambda v, c: pose_lib.crop_keypoints(
+        v, c, pose_lib.FACE_KEYPOINTS, pipe_mesh=mesh5))(fvars, crops))
+kp_ref = np.asarray(jax.jit(
+    lambda v, c: pose_lib.crop_keypoints(
+        v, c, pose_lib.FACE_KEYPOINTS))(fvars, crops))
+# same argmax cells; scores float-tolerant (scan reassociation)
+np.testing.assert_array_equal(kp_pipe[..., :2], kp_ref[..., :2])
+np.testing.assert_allclose(kp_pipe[..., 2], kp_ref[..., 2], atol=1e-4)
+print("CROP_PP_OK")
 """
 
 
@@ -93,3 +108,4 @@ def test_pipeline_stages_through_executor():
     assert res.returncode == 0, res.stderr[-3000:]
     assert "BODY_PARITY_OK" in res.stdout
     assert "EXECUTOR_PP_OK" in res.stdout
+    assert "CROP_PP_OK" in res.stdout
