@@ -117,6 +117,36 @@ def kernel_sections(quick: bool) -> dict:
         results["mtcnn_fps_320x240"] = round(8 / per, 1)
         print(f"{'mtcnn_fps_320x240':36s} {results['mtcnn_fps_320x240']}",
               flush=True)
+
+        # Mask R-CNN at the reference TEST regime (VERDICT r4 #3):
+        # 1080p -> 750x1333 letterbox, pre/post-NMS 1000/1000, max_det
+        # 100, the reference's X-101-32x8d-FPN arch
+        # (maskrcnn_detection.py:326-418). Batch 1 (the reference op is
+        # per-frame); peak HBM recorded when the backend exposes it.
+        from scannertools_tpu.models import maskrcnn as mr
+
+        model = mr.MaskRCNNModel(jax.random.PRNGKey(0),
+                                 arch="X-101-32x8d-FPN")
+        frame = jnp.asarray(rng.integers(
+            0, 256, (1, 1080, 1920, 3)).astype(np.float32))
+
+        def mask_fwd(e, x):
+            imgs, _ = mr.preprocess(x + e)
+            return model.infer(model.variables, imgs)
+
+        per = device_seconds_per_iter(mask_fwd, [frame], K1=1, K2=3)
+        results["maskrcnn_x101_fps_1080p_full_caps"] = round(1 / per, 2)
+        print(f"{'maskrcnn_x101_fps_1080p_full_caps':36s} "
+              f"{results['maskrcnn_x101_fps_1080p_full_caps']}", flush=True)
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+            peak = stats.get("peak_bytes_in_use")
+            if peak:
+                results["maskrcnn_peak_hbm_gb"] = round(peak / 2**30, 2)
+                print(f"{'maskrcnn_peak_hbm_gb':36s} "
+                      f"{results['maskrcnn_peak_hbm_gb']}", flush=True)
+        except Exception:
+            pass
     return results
 
 

@@ -14,6 +14,7 @@ are not in the image, and callers fall back to cv2 / the WAV parser.
 from __future__ import annotations
 
 import ctypes
+import os
 import threading
 from typing import Optional, Sequence, Tuple
 
@@ -33,13 +34,18 @@ def available() -> bool:
 class NativeVideoDecoder:
     """libav-backed decoder with the VideoDecoder interface."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, threads: int = 0):
+        """threads: libav decode threads; 0 = auto (min(4, host cores) —
+        bulk decode scales with frame threading on multi-core hosts;
+        ST_TPU_DECODE_THREADS overrides)."""
         lib = _lib()
         if lib is None:
             raise RuntimeError("st_av native library unavailable")
         self._lib = lib
         self.path = path
-        self._h = lib.st_av_open(path.encode())
+        if threads == 0:
+            threads = int(os.environ.get("ST_TPU_DECODE_THREADS", "0"))
+        self._h = lib.st_av_open_t(path.encode(), int(threads))
         if not self._h:
             raise IOError(f"cannot open video: {path}")
         w = ctypes.c_int()

@@ -20,6 +20,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <new>
+#include <thread>
 
 extern "C" {
 #include <libavcodec/avcodec.h>
@@ -228,7 +229,7 @@ int64_t st_av_read_impl(StAv* h, const int64_t* indices, int64_t n,
 
 extern "C" {
 
-void* st_av_open(const char* path) {
+void* st_av_open_t(const char* path, int threads) {
   avformat_network_init();
   auto* h = new (std::nothrow) StAv();
   if (!h) return nullptr;
@@ -252,9 +253,17 @@ void* st_av_open(const char* path) {
   AVStream* st = h->fmt->streams[h->stream];
   h->dec = avcodec_alloc_context3(codec);
   avcodec_parameters_to_context(h->dec, st->codecpar);
-  // one decode thread: the host is small and the caller overlaps decode
-  // with device work already; frame-threading adds latency to seeks.
-  h->dec->thread_count = 1;
+  // threads <= 0 selects min(4, hardware cores): bulk sequential decode
+  // scales near-linearly with frame threading on multi-core hosts (the
+  // 1-core sandbox resolves to 1, where decode is the measured e2e wall
+  // — docs/PERF_NOTES.md §8). Frame threading adds a few frames of
+  // latency after a seek; the chunk planner reads runs, so it amortizes.
+  if (threads <= 0) {
+    unsigned hc = std::thread::hardware_concurrency();
+    threads = (int)(hc < 1 ? 1 : (hc > 4 ? 4 : hc));
+  }
+  h->dec->thread_count = threads;
+  h->dec->thread_type = FF_THREAD_FRAME | FF_THREAD_SLICE;
   if (avcodec_open2(h->dec, codec, nullptr) < 0) {
     avcodec_free_context(&h->dec);
     avformat_close_input(&h->fmt);
@@ -279,6 +288,8 @@ void* st_av_open(const char* path) {
   h->next_index = 0;
   return h;
 }
+
+void* st_av_open(const char* path) { return st_av_open_t(path, 0); }
 
 int st_av_meta(void* p, int* w, int* hh, double* fps, int64_t* nframes) {
   auto* h = static_cast<StAv*>(p);

@@ -98,6 +98,8 @@ def _configure(name: str, lib: ctypes.CDLL) -> None:
     elif name == "st_av":
         lib.st_av_open.restype = ctypes.c_void_p
         lib.st_av_open.argtypes = [ctypes.c_char_p]
+        lib.st_av_open_t.restype = ctypes.c_void_p
+        lib.st_av_open_t.argtypes = [ctypes.c_char_p, ctypes.c_int]
         lib.st_av_meta.restype = ctypes.c_int
         lib.st_av_meta.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),

@@ -222,3 +222,41 @@ def test_rpn_proposal_recall_vs_unbounded_pool():
     assert recall >= 0.99, (
         f"per-level pre-NMS pool {mr.PRE_NMS} retains only {recall:.1%} "
         f"of the unbounded-pool proposals — raise PRE_NMS")
+
+
+@pytest.mark.slow
+def test_maskrcnn_reference_scale_full_caps():
+    """VERDICT r4 #3: the reference TEST regime actually exercised once —
+    800x1333 canvas, pre/post-NMS 1000/1000, max_det 100 (reference
+    maskrcnn_detection.py:326-418 TEST config). Asserts the full-caps
+    forward runs and honors the output contract at reference scale; the
+    timed counterpart lives in benchmarks/run_suite.py (maskrcnn
+    section)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from scannertools_tpu.models import maskrcnn as mr
+
+    model = mr.MaskRCNNModel(jax.random.PRNGKey(0))  # reference caps
+    assert (model.pre_nms, model.post_nms, model.max_det) == (1000, 1000,
+                                                              100)
+    # 1080p source -> 750x1333 letterbox (the geometry test's cap case)
+    frame = np.random.default_rng(0).integers(
+        0, 255, (1, 1080, 1920, 3)).astype(np.float32)
+
+    @jax.jit
+    def fwd(v, x):
+        imgs, _ = mr.preprocess(x)
+        return model.infer(v, imgs)
+
+    t0 = time.time()
+    boxes, scores, labels, masks = fwd(model.variables, jnp.asarray(frame))
+    jax.block_until_ready(boxes)
+    compile_s = time.time() - t0
+    assert np.asarray(boxes).shape == (1, 100, 4)
+    assert np.asarray(scores).shape == (1, 100)
+    assert np.asarray(masks).shape == (1, 100, 28, 28)
+    assert np.isfinite(np.asarray(scores)).all()
+    print(f"reference-scale full-caps forward + compile: {compile_s:.1f}s")
