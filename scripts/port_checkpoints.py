@@ -23,8 +23,20 @@ Artifact manifest (filenames looked up under --artifacts):
                                                          FaceNet repo's det1-3.npy)
   facenet         facenet_vggface2.pt                  torch.save(InceptionResnetV1(
                                                          pretrained='vggface2')
-                                                         .state_dict(), ...)  [the
-                                                         reference ckpt 20170512-110547]
+                                                         .state_dict(), ...)
+                                                       NOTE: this is a SUBSTITUTION —
+                                                         the reference ships the TF1
+                                                         ckpt 20170512-110547
+                                                         (face_embedding.py:10-14);
+                                                         vggface2 is the same arch but
+                                                         a different training run, so
+                                                         embeddings differ numerically
+                                                         (PARITY.md "Documented
+                                                         deviations"). A TF1-ckpt
+                                                         reader through the same
+                                                         facenet porting map is the
+                                                         exact-parity path once egress
+                                                         exists.
   ssd             frozen_inference_graph.pb            ssd_mobilenet_v1_coco_2017_11_17
                     (or ssd_tf_vars.npz)                 tarball (download.tensorflow.org)
   gender          gender_tf_vars.npz                   rude-carnie gender checkpoint:
@@ -63,6 +75,11 @@ def _torch_load(path):
     sd = torch.load(path, map_location="cpu", weights_only=True)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
+    if isinstance(sd, dict) and isinstance(sd.get("model"), dict):
+        # maskrcnn-benchmark checkpoints wrap the state dict (caught by
+        # the synthetic kit drill: converting the wrapper's values first
+        # would bury the sub-dict in a 0-d object array)
+        sd = sd["model"]
     return {k: np.asarray(v.detach().numpy() if hasattr(v, "detach") else v)
             for k, v in sd.items()}
 
