@@ -175,6 +175,18 @@ def _timed(build, reps=3):
     return best
 
 
+def _span_delta(sc, before: dict, wall: float) -> dict:
+    """Top profiler spans for one timed rep — the e2e wall attribution
+    (VERDICT r4 #1): whichever span tracks the wall is the bound."""
+    after = sc.profiler.totals()
+    spans = {k: round(after.get(k, 0.0) - before.get(k, 0.0), 3)
+             for k in after}
+    top = dict(sorted(((k, v) for k, v in spans.items() if v > 0.01),
+                      key=lambda kv: -kv[1])[:5])
+    top["wall"] = round(wall, 3)
+    return top
+
+
 def section_shots() -> dict:
     st, testing, sc = _e2e_client()
     n = 240
@@ -190,8 +202,13 @@ def section_shots() -> dict:
                cache_mode=st.CacheMode.Overwrite)
 
     wall = _timed(run)
+    before = dict(sc.profiler.totals())
+    t0 = time.perf_counter()
+    run("spanrep")
+    spans = _span_delta(sc, before, time.perf_counter() - t0)
     return {"e2e_shot_detect_fps_640x480": round(n / wall, 1),
-            "e2e_video_hours_per_hour": round((n / 24.0) / wall, 1)}
+            "e2e_video_hours_per_hour": round((n / 24.0) / wall, 1),
+            "shots_spans": spans}
 
 
 def section_flow_hist() -> dict:
@@ -210,23 +227,49 @@ def section_flow_hist() -> dict:
     return {"e2e_flow_hist_fps_640x480": round(n / _timed(run), 1)}
 
 
-def section_flow_store() -> dict:
+def _flow_store_variant(key: str, dtype, spans_key=None) -> dict:
+    """One store-raw-flow e2e measurement in THIS process. Each variant is
+    its own top-level section (fresh subprocess): the relay's in-process
+    degradation (PERF_NOTES §3) penalizes whichever run goes later, so
+    variants sharing a process are not comparable."""
     st, testing, sc = _e2e_client()
     n = 240
     video, _ = testing.ingest_test_video(sc, n=n, w=640, h=480, cuts=(120,))
     pp = st.PerfParams.manual(work_packet_size=64, prefetch_depth=2)
 
-    def run(name, dtype="float32"):
+    def run(name):
         frame = sc.io.Input([video])
-        flow = sc.ops.OpticalFlow(frames=frame, out_dtype=dtype)
+        kw = {} if dtype is None else {"out_dtype": dtype}
+        flow = sc.ops.OpticalFlow(frames=frame, **kw)
         sc.run(sc.io.Output(flow, [st.NamedStream(sc, name)]), pp,
                cache_mode=st.CacheMode.Overwrite)
 
-    out = {"e2e_flow_store_fps_640x480": round(n / _timed(run, reps=1), 1)}
-    # f16 sink (VERDICT r3 #1): 4x fewer readback bytes for raw-flow storage
-    out["e2e_flow_store_f16_fps_640x480"] = round(
-        n / _timed(lambda nm: run(nm, "float16"), reps=1), 1)
+    run("warm")
+    before = dict(sc.profiler.totals())
+    t0 = time.perf_counter()
+    run("timed")
+    dt = time.perf_counter() - t0
+    out = {key: round(n / dt, 1)}
+    if spans_key:
+        out[spans_key] = _span_delta(sc, before, dt)
     return out
+
+
+def section_flow_store() -> dict:
+    # explicit f32 = the pre-steering baseline encoding
+    return _flow_store_variant("e2e_flow_store_fps_640x480", "float32")
+
+
+def section_flow_store_f16() -> dict:
+    # f16 sink (VERDICT r3 #1): 4x fewer readback bytes for raw-flow storage
+    return _flow_store_variant("e2e_flow_store_f16_fps_640x480", "float16")
+
+
+def section_flow_store_default() -> dict:
+    # the DEFAULT store-raw pattern — sink_dtype='auto' steers it to f16
+    # (VERDICT r4 #5), so this should track the f16 number
+    return _flow_store_variant("e2e_flow_store_default_fps_640x480", None,
+                               spans_key="flow_store_spans")
 
 
 def section_face() -> dict:
@@ -287,6 +330,8 @@ SECTIONS = {
     "shots": section_shots,
     "flow_hist": section_flow_hist,
     "flow_store": section_flow_store,
+    "flow_store_f16": section_flow_store_f16,
+    "flow_store_default": section_flow_store_default,
     "face": section_face,
     "three_video": section_three_video,
 }
@@ -305,7 +350,8 @@ def main():
 
     results = kernel_sections(args.quick)
 
-    sections = ["shots", "flow_hist", "flow_store"]
+    sections = ["shots", "flow_hist", "flow_store", "flow_store_f16",
+                "flow_store_default"]
     if not args.quick:
         sections += ["face"]
     sections += ["three_video"]
