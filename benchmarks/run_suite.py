@@ -125,28 +125,39 @@ def kernel_sections(quick: bool) -> dict:
         # per-frame); peak HBM recorded when the backend exposes it.
         from scannertools_tpu.models import maskrcnn as mr
 
-        model = mr.MaskRCNNModel(jax.random.PRNGKey(0),
-                                 arch="X-101-32x8d-FPN")
         frame = jnp.asarray(rng.integers(
             0, 256, (1, 1080, 1920, 3)).astype(np.float32))
+        # X-101-32x8d is the reference's TEST arch; its compiled program
+        # exceeds this relay's remote-compile request cap (HTTP 413), so
+        # fall back to R-50-FPN — same full-caps regime, smaller trunk —
+        # and record which arch actually ran.
+        for arch, tag in (("X-101-32x8d-FPN", "x101"), ("R-50-FPN", "r50")):
+            try:
+                model = mr.MaskRCNNModel(jax.random.PRNGKey(0), arch=arch)
 
-        def mask_fwd(e, x):
-            imgs, _ = mr.preprocess(x + e)
-            return model.infer(model.variables, imgs)
+                def mask_fwd(e, x, m=model):
+                    imgs, _ = mr.preprocess(x + e)
+                    return m.infer(m.variables, imgs)
 
-        per = device_seconds_per_iter(mask_fwd, [frame], K1=1, K2=3)
-        results["maskrcnn_x101_fps_1080p_full_caps"] = round(1 / per, 2)
-        print(f"{'maskrcnn_x101_fps_1080p_full_caps':36s} "
-              f"{results['maskrcnn_x101_fps_1080p_full_caps']}", flush=True)
-        try:
-            stats = jax.devices()[0].memory_stats() or {}
-            peak = stats.get("peak_bytes_in_use")
-            if peak:
-                results["maskrcnn_peak_hbm_gb"] = round(peak / 2**30, 2)
-                print(f"{'maskrcnn_peak_hbm_gb':36s} "
-                      f"{results['maskrcnn_peak_hbm_gb']}", flush=True)
-        except Exception:
-            pass
+                per = device_seconds_per_iter(mask_fwd, [frame], K1=1, K2=3)
+            except Exception as ex:  # relay caps / OOM: try the next arch
+                results[f"maskrcnn_{tag}_error"] = f"{type(ex).__name__}"
+                print(f"maskrcnn {arch} failed: {type(ex).__name__}",
+                      flush=True)
+                continue
+            key = f"maskrcnn_{tag}_fps_1080p_full_caps"
+            results[key] = round(1 / per, 2)
+            print(f"{key:36s} {results[key]}", flush=True)
+            try:
+                stats = jax.devices()[0].memory_stats() or {}
+                peak = stats.get("peak_bytes_in_use")
+                if peak:
+                    results["maskrcnn_peak_hbm_gb"] = round(peak / 2**30, 2)
+                    print(f"{'maskrcnn_peak_hbm_gb':36s} "
+                          f"{results['maskrcnn_peak_hbm_gb']}", flush=True)
+            except Exception:
+                pass
+            break
     return results
 
 
