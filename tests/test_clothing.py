@@ -96,6 +96,7 @@ def test_records_decode_to_names():
                             "Hair length": "medium"}
 
 
+@pytest.mark.slow
 def test_multihead_model_shapes():
     """Trunk returns (scores, features) with one head per attribute —
     the reference classifier protocol (clothing_detection.py:246-253)."""

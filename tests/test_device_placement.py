@@ -55,6 +55,7 @@ def test_mixed_device_graph_splits_segments(sc, ingested):
     assert len(rows) == 8
 
 
+@pytest.mark.slow
 def test_nn_forward_with_aux_on_cpu(sc, ingested):
     """device=DeviceType.CPU on a composite NN op: the aux weights follow
     the segment onto the CPU backend (executor._resolve_aux placement) and

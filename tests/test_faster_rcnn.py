@@ -36,6 +36,7 @@ def test_mapping_total():
     assert not unmapped and not extra
 
 
+@pytest.mark.slow
 def test_port_through_synthetic_caffemodel():
     """A caffe-layout state_dict round-trips through port_faster_rcnn with
     every tensor transposed to the right flax shape."""
@@ -84,6 +85,7 @@ def small_model():
     return m, v
 
 
+@pytest.mark.slow
 def test_small_forward_semantics(small_model):
     m, v = small_model
     x = jnp.asarray(np.random.RandomState(2).randn(1, 96, 96, 3) * 40,

@@ -4,8 +4,10 @@ these check dataflow, types, and output contracts — accuracy is covered by
 weight-porting parity tests in test_models.py."""
 
 import numpy as np
+import pytest
 
 
+@pytest.mark.slow
 def test_faces_objects_gender_pipeline(sc, ingested):
     import scannertools_tpu as st
     from scannertools_tpu.protobufs import BoundingBox
@@ -51,6 +53,7 @@ def test_faces_objects_gender_pipeline(sc, ingested):
     assert all(isinstance(b.label, int) for ol in obj_lists for b in ol[:3])
 
 
+@pytest.mark.slow
 def test_embed_budget_compaction():
     """FaceEmbedForward compacts crops across the chunk to faces_budget*T
     (VERDICT r2 weak #4): within-budget slots match the exhaustive run;

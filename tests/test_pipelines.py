@@ -2,6 +2,7 @@
 ``compute_histograms(sc, videos=[...])`` with job-level caching)."""
 
 import numpy as np
+import pytest
 
 
 def test_compute_histograms_runner(sc, ingested, video_frames):
@@ -38,6 +39,7 @@ def test_shot_detection_pipeline_runner(sc, ingested, test_video):
     assert found == test_video["cuts"]
 
 
+@pytest.mark.slow
 def test_flow_histogram_and_drawflow_composition(sc, texture_video):
     """Flow consumers compose: OpticalFlow -> FlowHistogram + DrawFlow
     (old/histograms.py:49-81, vis.py:8-12)."""

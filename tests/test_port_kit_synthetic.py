@@ -19,6 +19,8 @@ import pytest
 
 from tests.test_weight_parsers import _blob, _ld, _tag, _varint
 
+pytestmark = pytest.mark.slow  # model init + ports: compile-heavy
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
