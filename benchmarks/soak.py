@@ -165,7 +165,7 @@ def run_recycle_soak(args) -> None:
     job_times = []
     db = cfg["db_path"]
     for j in range(n_jobs):
-        m = os.path.join(db, "streams", f"h{j:04d}", "manifest.json")
+        m = os.path.join(db, f"h{j:04d}", "manifest.json")
         try:
             job_times.append(round(os.path.getmtime(m) - t0, 1))
         except OSError:
