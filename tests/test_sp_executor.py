@@ -98,6 +98,19 @@ sc.run(sc.io.Output(blurred, [out]),
        cache_mode=st.CacheMode.Overwrite)
 assert len(list(out.load())) == 4
 print("FALLBACK_OK")
+
+# ---- 4. estimator wiring (VERDICT r4 #8): estimate(spatial_shards=-1)
+# auto-picks the largest dividing count from the DECLARED graph metadata
+# and engages through a normal run — parity with the unsharded result
+frame = sc.io.Input([video])
+blurred = sc.ops.Blur(frame=frame, kernel_size=9)
+out = st.NamedStream(sc, "b_auto")
+sc.run(sc.io.Output(blurred, [out]),
+       st.PerfParams.estimate(work_packet_size=4, spatial_shards=-1,
+                              ingest="rgb"),
+       cache_mode=st.CacheMode.Overwrite)
+np.testing.assert_array_equal(np.stack(list(out.load())), b_ref)
+print("ESTIMATE_AUTO_OK")
 """
 
 
@@ -122,3 +135,4 @@ def test_spatial_shards_through_executor():
     assert "TRACED_PARITY_OK" in res.stdout
     assert "EXECUTOR_SP_OK" in res.stdout
     assert "FALLBACK_OK" in res.stdout
+    assert "ESTIMATE_AUTO_OK" in res.stdout
