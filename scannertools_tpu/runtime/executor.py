@@ -331,11 +331,22 @@ class Executor:
                 if not isinstance(node, OpNode):
                     continue
                 pname = getattr(get_op(node.name), "compact_sink", None)
-                if (pname and pname not in node.params
+                steered = getattr(node, "_sink_steered", None)
+                if (pname and (pname not in node.params or steered == pname)
                         and node.id not in op_consumed
                         and any(e.node is node for e in output.columns)):
                     node.params[pname] = "float16"
-        elif perf.sink_dtype != "float32":
+                    node._sink_steered = pname  # injected, not user-passed
+        elif perf.sink_dtype == "float32":
+            # a graph object re-run with steering disabled must shed any
+            # param a previous auto run injected (explicit user params
+            # were never overwritten, so only the sentinel is removed)
+            for node in order:
+                pname = getattr(node, "_sink_steered", None)
+                if pname:
+                    node.params.pop(pname, None)
+                    node._sink_steered = None
+        else:
             raise ValueError(
                 f"sink_dtype must be auto|float32|float16, got "
                 f"{perf.sink_dtype!r}")

@@ -227,3 +227,29 @@ def test_flow_serde_f16_roundtrip():
     a32 = a.astype(np.float32)
     got32 = t.parse(t.serialize(a32))
     assert got32.dtype == np.float32 and (got32 == a32).all()
+
+
+def test_flow_sink_steering_reversible_on_same_graph(sc, texture_video):
+    """A graph OBJECT re-run with sink_dtype='float32' sheds the param an
+    earlier auto run injected (steered params are sentinel-tracked, never
+    confused with user-passed ones)."""
+    import numpy as np
+
+    h, w = texture_video["h"], texture_video["w"]
+    video = st.NamedVideoStream(sc, "rev_v", path=texture_video["path"])
+    frame = sc.io.Input([video])
+    g = sc.streams.Range(frame, [(0, 4)])
+    flow = sc.ops.OpticalFlow(frames=g)
+    out = st.NamedStream(sc, "rev_flow")
+
+    def stored_bytes(perf):
+        sc.run(sc.io.Output(flow, [out]), perf,
+               cache_mode=st.CacheMode.Overwrite)
+        return sum(len(b) for b in out.load_bytes(range(4)))
+
+    f16 = 4 * (8 + h * w * 2 * 2)
+    f32 = 4 * (8 + h * w * 2 * 4)
+    assert stored_bytes(st.PerfParams.manual(work_packet_size=4)) == f16
+    assert stored_bytes(st.PerfParams.manual(
+        work_packet_size=4, sink_dtype="float32")) == f32
+    assert stored_bytes(st.PerfParams.manual(work_packet_size=4)) == f16
