@@ -390,6 +390,20 @@ def run_sp_executor_dryrun(n_devices: int) -> None:
         assert got.shape == want.shape
         assert (got == want).all(), "sp executor dryrun mismatch"
 
+        # estimator auto-engage (VERDICT r4 #8): estimate(spatial_shards=-1)
+        # picks the largest dividing shard count from the DECLARED graph
+        # metadata and engages through the same run — identical output
+        frame = sc.io.Input([video])
+        diff = sc.ops.FrameDifference(frames=frame)
+        blurred = sc.ops.Blur(frame=diff, kernel_size=9)
+        hsv = sc.ops.ConvertToHSV(frame=blurred)
+        out = st.NamedStream(sc, "sp_dry_auto")
+        sc.run(sc.io.Output(hsv, [out]),
+               st.PerfParams.estimate(work_packet_size=4, spatial_shards=-1),
+               cache_mode=st.CacheMode.Overwrite)
+        auto = np.stack(list(out.load()))
+        assert (auto == want).all(), "sp estimator auto-engage mismatch"
+
 
 def run_ep_executor_dryrun(n_devices: int) -> None:
     """PerfParams(expert_shards=n) through the REAL executor (VERDICT r3
