@@ -444,24 +444,27 @@ def limb_scores(paf: jnp.ndarray, peaks: jnp.ndarray, valid: jnp.ndarray):
 
 
 def infer_maps(variables, frames_pm5: jnp.ndarray, out_hw: Tuple[int, int],
-               pipe_mesh=None):
+               pipe_mesh=None, upsample: str = "linear"):
     """frames in [-0.5, 0.5] [T,H,W,3] -> (heat [T,h,w,19], paf [T,h,w,38])
     resized to out_hw (the CPM2 resized-heatmap contract). ``pipe_mesh``
     (a 'pipe'-axis mesh of exactly stages-1 devices) runs the refinement
-    chain stage-per-chip (body_forward_pipelined)."""
+    chain stage-per-chip (body_forward_pipelined). ``upsample='cubic'``
+    matches OpenPose's wrapper resize exactly (ADVICE r4 / PARITY.md
+    deviation note); the default stays linear."""
     if pipe_mesh is not None:
         heat, paf = body_forward_pipelined(variables, frames_pm5, pipe_mesh)
     else:
         heat, paf = OpenPoseBody().apply(variables, frames_pm5)
     t = frames_pm5.shape[0]
     oh, ow = out_hw
-    heat = jax.image.resize(heat, (t, oh, ow, N_HEAT), "linear")
-    paf = jax.image.resize(paf, (t, oh, ow, N_PAF), "linear")
+    heat = jax.image.resize(heat, (t, oh, ow, N_HEAT), upsample)
+    paf = jax.image.resize(paf, (t, oh, ow, N_PAF), upsample)
     return heat, paf
 
 
 def merge_scale_maps(maps: List[jnp.ndarray],
-                     out_hw: Tuple[int, int]) -> jnp.ndarray:
+                     out_hw: Tuple[int, int],
+                     upsample: str = "linear") -> jnp.ndarray:
     """CMU multi-scale merge (op::resizeAndMergeCaffe semantics behind
     openpose_kernel.cpp:94-141's op::Wrapper): raw net outputs from each
     pyramid scale are CUBIC-resized to the LARGEST scale's net-output grid
@@ -478,11 +481,12 @@ def merge_scale_maps(maps: List[jnp.ndarray],
     merged = acc / len(maps)
     if (bh, bw) == tuple(out_hw):
         return merged
-    return jax.image.resize(merged, (t, out_hw[0], out_hw[1], c), "linear")
+    return jax.image.resize(merged, (t, out_hw[0], out_hw[1], c), upsample)
 
 
 def device_stage(variables, frames_f32: jnp.ndarray,
-                 scales: Tuple[float, ...] = (1.0,), pipe_mesh=None):
+                 scales: Tuple[float, ...] = (1.0,), pipe_mesh=None,
+                 upsample: str = "linear"):
     """Full device side for a chunk: [T,H,W,3] raw [0,255] ->
     (peaks [T,18,K,3], valid [T,18,K], scores [T,L,K,K]).
     Preprocess matches CPM2Input: /256 - 0.5 (cpm2_input_kernel_gpu.cpp).
@@ -494,7 +498,8 @@ def device_stage(variables, frames_f32: jnp.ndarray,
     x = frames_f32 / 256.0 - 0.5
     t, h, w, _ = x.shape
     if len(scales) == 1 and scales[0] == 1.0:
-        heat, paf = infer_maps(variables, x, (h, w), pipe_mesh=pipe_mesh)
+        heat, paf = infer_maps(variables, x, (h, w), pipe_mesh=pipe_mesh,
+                               upsample=upsample)
     else:
         heats, pafs = [], []
         for s in sorted(scales, reverse=True):  # largest grid first
@@ -511,8 +516,8 @@ def device_stage(variables, frames_f32: jnp.ndarray,
                 hm, pf = OpenPoseBody().apply(variables, xi)
             heats.append(hm)
             pafs.append(pf)
-        heat = merge_scale_maps(heats, (h, w))
-        paf = merge_scale_maps(pafs, (h, w))
+        heat = merge_scale_maps(heats, (h, w), upsample=upsample)
+        paf = merge_scale_maps(pafs, (h, w), upsample=upsample)
 
     def per_frame(hm, pf):
         peaks, valid = find_peaks(hm)

@@ -256,7 +256,8 @@ def _openpose_aux(ctx, params):
              outputs=("array_f32", "array_i32", "array_f32", "array_i32"),
              stages=lambda p: 5)
 def openpose_forward(ctx, aux, frame, weights_path: Optional[str] = None,
-                     pose_num_scales: int = 1, pose_scale_gap: float = 0.1):
+                     pose_num_scales: int = 1, pose_scale_gap: float = 0.1,
+                     pose_upsample: str = "linear"):
     """Body network + peak finding + PAF line integrals on device.
     ``pose_num_scales``/``pose_scale_gap`` follow the reference op's
     multi-scale knobs (openpose_kernel.cpp:94-141): each scale runs the
@@ -274,8 +275,13 @@ def openpose_forward(ctx, aux, frame, weights_path: Optional[str] = None,
     # PerfParams(pipeline_stages>=5) runs the 5 uniform refinement stages
     # one per chip (VERDICT r3 #3; models/pose.body_forward_pipelined)
     pipe_mesh = ctx.pipe_mesh(5) if hasattr(ctx, "pipe_mesh") else None
+    # pose_upsample="cubic" applies OpenPose's wrapper resize to BOTH the
+    # net-grid->frame upsample and the cross-scale merge (closest CMU
+    # multi-scale fidelity; PARITY.md "Documented deviations"). Default
+    # linear keeps the CPM2 single-scale contract bit-stable.
     peaks, valid, scores = pose_lib.device_stage(aux, x, scales,
-                                                 pipe_mesh=pipe_mesh)
+                                                 pipe_mesh=pipe_mesh,
+                                                 upsample=pose_upsample)
     dims = jnp.broadcast_to(jnp.asarray([h, w], jnp.int32), (t, 2))
     return peaks, valid, scores, dims
 

@@ -312,3 +312,27 @@ def test_multi_scale_duplicate_scale_equals_single(monkeypatch):
         lambda a: pose_lib.device_stage(None, a, scales=(1.0, 1.0)))(f)
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+@pytest.mark.slow
+def test_pose_upsample_cubic_option():
+    """ADVICE r4: ``pose_upsample='cubic'`` applies OpenPose's wrapper
+    resize to the net-grid->frame upsample (and the multi-scale merge's
+    final resize) — closest CMU fidelity, opt-in; default stays linear
+    (the CPM2 single-scale contract)."""
+    import jax
+    import jax.numpy as jnp
+
+    from scannertools_tpu.models import pose as pl
+
+    v = pl.init_params(jax.random.PRNGKey(0))
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 32, 32, 3)) * 0.2,
+        jnp.float32)
+    heat_c, _ = pl.infer_maps(v, x, (32, 32), upsample="cubic")
+    hm, _ = pl.OpenPoseBody().apply(v, x)
+    want = jax.image.resize(hm, (1, 32, 32, pl.N_HEAT), "cubic")
+    np.testing.assert_allclose(np.asarray(heat_c), np.asarray(want),
+                               atol=1e-5)
+    heat_l, _ = pl.infer_maps(v, x, (32, 32))
+    assert np.abs(np.asarray(heat_c) - np.asarray(heat_l)).max() > 1e-6
