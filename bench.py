@@ -157,9 +157,30 @@ def main() -> None:
             "flow_fps_432x240": round(flow_fps, 1),
             "flow_vs_cv2": round(flow_fps / flow_cpu, 2),
             **extras_nn,
+            **_recorded_e2e(),
             "methodology": "scan-slope (block_until_ready lies on relays)",
         },
     }))
+
+
+def _recorded_e2e() -> dict:
+    """Headline e2e/full-regime numbers from the committed suite record
+    (benchmarks/results.json — measured by benchmarks/run_suite.py, which
+    takes ~1h; this one-liner only re-measures the kernels live).
+    Explicitly labeled recorded_, never re-measured here."""
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "benchmarks", "results.json")) as f:
+            r = json.load(f)
+        out = {}
+        for k in ("e2e_shot_detect_fps_640x480", "e2e_video_hours_per_hour",
+                  "e2e_flow_store_default_fps_640x480",
+                  "maskrcnn_r50_fps_1080p_full_caps"):
+            if k in r:
+                out["recorded_" + k] = r[k]
+        return out
+    except Exception:
+        return {}
 
 
 if __name__ == "__main__":
