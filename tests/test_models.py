@@ -304,3 +304,56 @@ def test_fused_pyramid_pnet_matches_per_level():
         got_r = np.asarray(regc[0, oy // 2:oy // 2 + gh, :gw])
         np.testing.assert_allclose(got_r, np.asarray(reg[0, :gh, :gw]),
                                    atol=1e-5)
+
+
+def test_nms_fixed_point_matches_sequential_greedy():
+    """The while-loop fixed-point NMS (models/common.py) must produce the
+    EXACT sequential-greedy keep set — random clouds and an adversarial
+    alternating chain (kept/suppressed flip along the whole chain, the
+    worst case for iteration count)."""
+    import jax
+    import jax.numpy as jnp
+
+    from scannertools_tpu.models.common import nms
+
+    def greedy_np(boxes, scores, thr):
+        order = np.argsort(-scores)
+        b = boxes[order]
+        kept = []
+        for i in range(len(b)):
+            x1 = np.maximum(b[i, 0], b[:, 0])
+            y1 = np.maximum(b[i, 1], b[:, 1])
+            x2 = np.minimum(b[i, 2], b[:, 2])
+            y2 = np.minimum(b[i, 3], b[:, 3])
+            inter = np.maximum(x2 - x1, 0) * np.maximum(y2 - y1, 0)
+            a = np.maximum(b[:, 2] - b[:, 0], 0) * np.maximum(
+                b[:, 3] - b[:, 1], 0)
+            union = a[i] + a - inter
+            iou = np.where(union > 0, inter / union, 0)
+            if not any(iou[j] > thr for j in kept):
+                kept.append(i)
+        return [tuple(b[i]) for i in kept]
+
+    rng = np.random.default_rng(0)
+    fn = jax.jit(lambda b, s: nms(b, s, 0.5, 96, score_thresh=0.0))
+    for trial in range(3):
+        centers = rng.uniform(0, 60, (96, 2))
+        wh = rng.uniform(4, 18, (96, 2))
+        boxes = np.concatenate([centers - wh / 2, centers + wh / 2],
+                               axis=1).astype(np.float32)
+        scores = rng.uniform(0.1, 1.0, 96).astype(np.float32)
+        ob, _, ov = fn(jnp.asarray(boxes), jnp.asarray(scores))
+        got = [tuple(x) for x in np.asarray(ob)[np.asarray(ov)]]
+        assert got == greedy_np(boxes, scores, 0.5), f"trial {trial}"
+
+    # alternating chain: box i overlaps only box i+1; greedy keeps evens.
+    n = 64
+    boxes = np.stack([np.arange(n) * 6.0, np.zeros(n),
+                      np.arange(n) * 6.0 + 10, np.full(n, 10.0)],
+                     axis=1).astype(np.float32)   # IoU(i,i+1) = 4/16 = 0.25
+    scores = np.linspace(1.0, 0.5, n).astype(np.float32)
+    ob, _, ov = jax.jit(lambda b, s: nms(b, s, 0.2, n))(
+        jnp.asarray(boxes), jnp.asarray(scores))
+    kept = np.asarray(ob)[np.asarray(ov)]
+    assert len(kept) == n // 2
+    assert np.allclose(kept[:, 0], np.arange(0, n, 2) * 6.0)
