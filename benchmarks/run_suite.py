@@ -141,7 +141,8 @@ def kernel_sections(quick: bool) -> dict:
 
                 per = device_seconds_per_iter(mask_fwd, [frame], K1=1, K2=3)
             except Exception as ex:  # relay caps / OOM: try the next arch
-                results[f"maskrcnn_{tag}_error"] = f"{type(ex).__name__}"
+                results[f"maskrcnn_{tag}_error"] = \
+                    f"{type(ex).__name__}: {str(ex)[:160]}"
                 print(f"maskrcnn {arch} failed: {type(ex).__name__}",
                       flush=True)
                 continue
